@@ -1,0 +1,188 @@
+"""3D ResNet family in Flax (channels-last, TPU-native).
+
+Reimplements (by spec, not translation) the inline 3D ResNet used by every
+AD entry point in the reference:
+  * classifier: 3D_resnet.py:341-440 (``ResNet3D`` + ``build_model``)
+  * headless backbone: MRI_PET_OT_OT_per_epoch_attn.py:480-545
+    (``ResNet3D_Backbone``)
+
+Topology parity:
+  stem   Conv3d(in->64, k=(3,7,7), s=(1,2,2), p=(1,3,3), no bias) + BN + ReLU
+  pool   MaxPool3d(k=(1,3,3), s=(1,2,2), p=(0,1,1))
+  stages 64/128/256/512 with strides 1,2,2,2
+  head   global average pool (+ Dense for the classifier)
+
+Depth table (3D_resnet.py:413-437): 10/18/34 use basic blocks, 50/101/152/
+200 use bottlenecks (expansion 4). Reference quirk normalised: the
+reference imports ``BasicBlock`` from torchvision's *video* resnet and
+calls it with the wrong signature (conv_builder slot receives the stride —
+3D_resnet.py:51,417-423), so its basic-block depths crash at construction;
+all published results use bottleneck depths. Here depths 10-34 are proper
+two-conv 3x3x3 residual blocks.
+
+TPU-first choices: NDHWC layout (channels-last is XLA's native conv
+layout), configurable compute dtype (bf16 for MXU throughput, fp32
+params/batch-stats), He fan-out init matching the reference's Kaiming init
+(3D_resnet.py:368-373).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+# depth -> (stage block counts, block kind)
+DEPTH_CONFIGS: dict[int, tuple[tuple[int, int, int, int], str]] = {
+    10: ((1, 1, 1, 1), "basic"),
+    18: ((2, 2, 2, 2), "basic"),
+    34: ((3, 4, 6, 3), "basic"),
+    50: ((3, 4, 6, 3), "bottleneck"),
+    101: ((3, 4, 23, 3), "bottleneck"),
+    152: ((3, 8, 36, 3), "bottleneck"),
+    200: ((3, 24, 36, 3), "bottleneck"),
+}
+
+EXPANSION = {"basic": 1, "bottleneck": 4}
+
+_conv_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+def feature_dim(depth: int) -> int:
+    """Pooled feature width for a given depth (512 * expansion)."""
+    return 512 * EXPANSION[DEPTH_CONFIGS[depth][1]]
+
+
+class _ConvBN(nn.Module):
+    features: int
+    kernel: Sequence[int]
+    strides: Sequence[int] = (1, 1, 1)
+    padding: Any = "SAME"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = nn.Conv(
+            self.features,
+            kernel_size=tuple(self.kernel),
+            strides=tuple(self.strides),
+            padding=self.padding,
+            use_bias=False,
+            kernel_init=_conv_init,
+            dtype=self.dtype,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=jnp.float32,
+        )(x)
+        return x
+
+
+class BasicBlock3D(nn.Module):
+    """Two 3x3x3 convs with a residual connection."""
+
+    planes: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        s = (self.stride,) * 3
+        identity = x
+        out = _ConvBN(self.planes, (3, 3, 3), s, dtype=self.dtype)(x, train)
+        out = nn.relu(out)
+        out = _ConvBN(self.planes, (3, 3, 3), dtype=self.dtype)(out, train)
+        if self.stride != 1 or x.shape[-1] != self.planes:
+            identity = _ConvBN(self.planes, (1, 1, 1), s, dtype=self.dtype)(
+                x, train
+            )
+        return nn.relu(out + identity)
+
+
+class Bottleneck3D(nn.Module):
+    """1x1x1 -> 3x3x3(stride) -> 1x1x1 bottleneck, expansion 4
+    (reference MRI_PET_OT.py:380-414)."""
+
+    planes: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        s = (self.stride,) * 3
+        out_ch = self.planes * 4
+        identity = x
+        out = _ConvBN(self.planes, (1, 1, 1), dtype=self.dtype)(x, train)
+        out = nn.relu(out)
+        out = _ConvBN(self.planes, (3, 3, 3), s, dtype=self.dtype)(out, train)
+        out = nn.relu(out)
+        out = _ConvBN(out_ch, (1, 1, 1), dtype=self.dtype)(out, train)
+        if self.stride != 1 or x.shape[-1] != out_ch:
+            identity = _ConvBN(out_ch, (1, 1, 1), s, dtype=self.dtype)(
+                x, train
+            )
+        return nn.relu(out + identity)
+
+
+class ResNet3DBackbone(nn.Module):
+    """Headless 3D ResNet returning pooled (B, 512*expansion) features.
+
+    Input is NDHWC: (B, D, H, W, C). ``depth`` picks the stage layout from
+    DEPTH_CONFIGS; ``dtype`` is the compute dtype (params stay fp32).
+    """
+
+    depth: int = 50
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        layers, kind = DEPTH_CONFIGS[self.depth]
+        block = BasicBlock3D if kind == "basic" else Bottleneck3D
+
+        x = x.astype(self.dtype)
+        # Stem: anisotropic conv + maxpool preserving depth resolution.
+        x = _ConvBN(
+            64,
+            (3, 7, 7),
+            (1, 2, 2),
+            padding=((1, 1), (3, 3), (3, 3)),
+            dtype=self.dtype,
+        )(x, train)
+        x = nn.relu(x)
+        x = nn.max_pool(
+            x,
+            window_shape=(1, 3, 3),
+            strides=(1, 2, 2),
+            padding=((0, 0), (1, 1), (1, 1)),
+        )
+
+        for stage, (planes, n_blocks) in enumerate(
+            zip((64, 128, 256, 512), layers)
+        ):
+            for i in range(n_blocks):
+                stride = 2 if (stage > 0 and i == 0) else 1
+                x = block(planes, stride, dtype=self.dtype)(x, train)
+
+        # Global average pool over (D, H, W).
+        x = jnp.mean(x, axis=(1, 2, 3))
+        return x.astype(jnp.float32)
+
+
+class ResNet3DClassifier(nn.Module):
+    """Backbone + linear head — parity with the unimodal trainer's model
+    (3D_resnet.py:341-365)."""
+
+    depth: int = 50
+    num_classes: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        feats = ResNet3DBackbone(self.depth, dtype=self.dtype, name="backbone")(
+            x, train
+        )
+        logits = nn.Dense(self.num_classes, name="fc")(feats)
+        return logits, feats

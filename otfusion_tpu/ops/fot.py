@@ -106,6 +106,31 @@ def fot(
     )
 
 
+def apply_feature_coupling(
+    features: jnp.ndarray,
+    tv: jnp.ndarray,
+    normalize: bool = True,
+) -> jnp.ndarray:
+    """Map ``features`` (B, d_src) into target space via plan ``tv``
+    (d_src, d_tgt): the OT barycentric projection
+    ``out[:, l] = sum_k f[:, k] tv[k, l] / sum_k tv[k, l]``.
+
+    Normalisation note (reference quirks unified, not replicated): the base
+    trainer row-normalises the plan with a NaN->1e-8 guard before applying
+    it (MRI_PET_OT.py:684-697); the flagship applies the raw plan via
+    ``pet_feat @ T.t()`` (attn:728) — an orientation that only type-checks
+    because d_pet == d_mri == 2048, and whose unnormalised output magnitude
+    (~1/d) is immediately rescaled by the attention block's LayerNorm. The
+    barycentric projection is the common intent of both; ``normalize=False``
+    reproduces the raw-plan magnitude.
+    """
+    tv = jnp.nan_to_num(tv, nan=1e-8)
+    if normalize:
+        col_mass = jnp.sum(tv, axis=0, keepdims=True)
+        tv = tv / jnp.where(col_mass == 0, 1e-8, col_mass)
+    return features @ tv
+
+
 def mdict_to_matrix(
     m_dict: Dict[int, np.ndarray],
     source_labels: np.ndarray,

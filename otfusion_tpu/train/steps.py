@@ -1,0 +1,184 @@
+"""Jitted train/eval steps.
+
+The reference's hot loop crosses the host boundary constantly (GPU forward
+-> .cpu().numpy() -> CPU JAX OT solve -> back to GPU, once per *batch* in
+MRI_PET_OT.py:667-697). Here each step — forward, in-batch FOT solve,
+losses, backward, optimiser update — is ONE jitted XLA computation that
+never leaves the TPU.
+
+Step factories return functions closed over the model/config so the jitted
+signature only carries arrays (state, batch, coupling, rng).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from otfusion_tpu.ops.fot import apply_feature_coupling, fot
+from otfusion_tpu.train.losses import cosine_alignment_loss, cross_entropy
+from otfusion_tpu.train.train_state import FusionTrainState
+
+
+def _apply(model, params, batch_stats, *args, train, rng=None, **kwargs):
+    variables = {"params": params, "batch_stats": batch_stats}
+    rngs = {"dropout": rng} if rng is not None else None
+    if train:
+        out, mutated = model.apply(
+            variables, *args, train=True, rngs=rngs,
+            mutable=["batch_stats"], **kwargs,
+        )
+        return out, mutated["batch_stats"]
+    out = model.apply(variables, *args, train=False, **kwargs)
+    return out, batch_stats
+
+
+def make_fusion_train_step(
+    model,
+    in_batch_fot: bool = False,
+    fot_epsilon: float = 1e-3,
+    fot_max_iterations: int = 2000,
+    donate: bool = True,
+) -> Callable:
+    """Train step for MultimodalOTFusion.
+
+    ``in_batch_fot=True`` reproduces the base trainer's per-batch coupling
+    (identity sample plan over the batch, eps=1e-3 — MRI_PET_OT.py:664-697)
+    but solved on-device inside this very step. Otherwise the per-epoch
+    coupling ``t_feature`` (or None for mmfusion) is used as-is.
+    """
+    use_ot_loss = model.variant in ("per_epoch_attn", "base")
+
+    def step(state: FusionTrainState, mri, pet, labels, t_feature, rng):
+        def loss_fn(params):
+            out, new_stats = _apply(
+                model, params, state.batch_stats, mri, pet,
+                t_feature=t_feature, train=True, rng=rng,
+            )
+            ce = cross_entropy(out["logits"], labels)
+            ot_loss = jnp.float32(0.0)
+            if use_ot_loss:
+                if in_batch_fot:
+                    # Identity in-batch sample plan; couplings detach inside
+                    # the solver, gradients flow only through the cosine
+                    # alignment of the fused features.
+                    bsz = out["mri_fused"].shape[0]
+                    ts = jnp.eye(bsz, dtype=jnp.float32) / bsz
+                    tv = fot(
+                        out["pet_fused"], out["mri_fused"], ts,
+                        epsilon=fot_epsilon,
+                        max_iterations=fot_max_iterations,
+                    ).coupling
+                    ot_mri = apply_feature_coupling(out["pet_fused"], tv)
+                else:
+                    ot_mri = out["ot_mri_from_pet"]
+                if ot_mri is not None:
+                    ot_loss = cosine_alignment_loss(out["mri_fused"], ot_mri)
+            loss = ce + ot_loss
+            return loss, (out["logits"], ce, ot_loss, new_stats)
+
+        grads, (logits, ce, ot_loss, new_stats) = jax.grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(grads=grads)
+        state = state.replace(batch_stats=new_stats)
+        metrics = {
+            "loss": ce + ot_loss,
+            "ce_loss": ce,
+            "ot_loss": ot_loss,
+            "correct": jnp.sum(jnp.argmax(logits, -1) == labels),
+        }
+        return state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_fusion_eval_step(model) -> Callable:
+    use_ot_loss = model.variant in ("per_epoch_attn", "base")
+
+    def step(state: FusionTrainState, mri, pet, labels, t_feature):
+        out, _ = _apply(
+            model, state.params, state.batch_stats, mri, pet,
+            t_feature=t_feature, train=False,
+        )
+        ce = cross_entropy(out["logits"], labels)
+        ot_loss = jnp.float32(0.0)
+        # Reference eval computes total loss = ce + ot (ot=0 outside
+        # training: attn:755,857); parity: eval ot_loss stays 0.
+        preds = jnp.argmax(out["logits"], -1)
+        return {
+            "loss": ce + ot_loss,
+            "ce_loss": ce,
+            "ot_loss": ot_loss,
+            "preds": preds,
+            "logits": out["logits"],
+            "correct": jnp.sum(preds == labels),
+        }
+
+    return jax.jit(step)
+
+
+def make_feature_extract_step(model) -> Callable:
+    """Backbone-only forward for the per-epoch coupling service
+    (reference feature_extract, attn:889-914)."""
+
+    def step(state: FusionTrainState, mri, pet):
+        variables_mri = {
+            "params": state.params["mri_backbone"],
+            "batch_stats": state.batch_stats["mri_backbone"],
+        }
+        variables_pet = {
+            "params": state.params["pet_backbone"],
+            "batch_stats": state.batch_stats["pet_backbone"],
+        }
+        from otfusion_tpu.models.resnet3d import ResNet3DBackbone
+
+        backbone = ResNet3DBackbone(model.depth, dtype=model.dtype)
+        mri_feat = backbone.apply(variables_mri, mri, train=False)
+        pet_feat = backbone.apply(variables_pet, pet, train=False)
+        return mri_feat, pet_feat
+
+    return jax.jit(step)
+
+
+def make_unimodal_train_step(model, donate: bool = True) -> Callable:
+    """CE-only train step for ResNet3DClassifier (3D_resnet.py:477-513)."""
+
+    def step(state: FusionTrainState, vol, labels, rng):
+        def loss_fn(params):
+            (logits, feats), new_stats = _apply(
+                model, params, state.batch_stats, vol, train=True, rng=rng
+            )
+            return cross_entropy(logits, labels), (logits, new_stats)
+
+        grads, (logits, new_stats) = jax.grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        state = state.apply_gradients(grads=grads)
+        state = state.replace(batch_stats=new_stats)
+        return state, {
+            "loss": cross_entropy(logits, labels),
+            "correct": jnp.sum(jnp.argmax(logits, -1) == labels),
+        }
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_unimodal_eval_step(model) -> Callable:
+    def step(state: FusionTrainState, vol, labels):
+        (logits, feats), _ = _apply(
+            model, state.params, state.batch_stats, vol, train=False
+        )
+        preds = jnp.argmax(logits, -1)
+        return {
+            "loss": cross_entropy(logits, labels),
+            "preds": preds,
+            "logits": logits,
+            "features": feats,
+            "correct": jnp.sum(preds == labels),
+        }
+
+    return jax.jit(step)
