@@ -1,0 +1,85 @@
+"""Synthetic ADNI-layout fixture generator.
+
+The reference ships no test data (and the ADNI cohort is access-controlled);
+this generator builds a miniature on-disk tree with the exact directory and
+naming conventions the cohort-assembly code expects:
+
+    root/
+      AD_MRI_130_FIN/<pid>/scan/AD_<pid>_MR.nii.gz
+      CN_MRI_229_FIN/...
+      AD_PET_130_FIN/<pid>/scan/<pid>_AV45.nii.gz
+      CN_PET_229_FIN/...
+
+Volumes carry a class- and modality-dependent signal (a centred Gaussian
+blob whose radius/intensity depends on the class) so a model can actually
+learn AD-vs-CN from the fixtures, plus patient-specific structure so
+MRI/PET of the same patient are correlated — giving the OT alignment
+something real to find.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from otfusion_tpu.data.nifti_io import write_nifti
+
+
+def _blob(shape, center, radius, rng):
+    zz, yy, xx = np.meshgrid(
+        *[np.arange(s, dtype=np.float32) for s in shape], indexing="ij"
+    )
+    c = [cc * s for cc, s in zip(center, shape)]
+    dist2 = (zz - c[0]) ** 2 + (yy - c[1]) ** 2 + (xx - c[2]) ** 2
+    return np.exp(-dist2 / (2.0 * (radius * min(shape)) ** 2))
+
+
+def make_synthetic_adni(
+    root: str | Path,
+    n_per_class: int = 6,
+    shape: tuple[int, int, int] = (24, 24, 24),
+    classes: tuple[str, ...] = ("AD", "CN"),
+    modalities: tuple[str, ...] = ("MRI", "PET"),
+    seed: int = 0,
+    heterogeneous_shapes: bool = False,
+) -> Path:
+    """Build the fixture tree; returns the root path.
+
+    ``heterogeneous_shapes`` varies raw scan shapes per patient (the real
+    ADNI tree is anisotropic — get_nii_sizes.py exists because of it), to
+    exercise the resize path.
+    """
+    root = Path(root)
+    rng = np.random.default_rng(seed)
+    dir_counts = {"AD": 130, "CN": 229, "MCI": 86}
+
+    for ci, cls in enumerate(classes):
+        for mod in modalities:
+            class_dir = root / f"{cls}_{mod}_{dir_counts[cls]}_FIN"
+            for p in range(n_per_class):
+                pid = f"{(ci + 1):03d}_S_{4000 + p:04d}"
+                if heterogeneous_shapes:
+                    s = tuple(
+                        int(d + rng.integers(-4, 5)) for d in shape
+                    )
+                else:
+                    s = shape
+                # class signal: blob radius/intensity differ per class;
+                # patient signal: blob centre jitter shared across
+                # modalities of the same patient.
+                pid_rng = np.random.default_rng(seed * 10_000 + ci * 100 + p)
+                center = 0.5 + pid_rng.uniform(-0.1, 0.1, size=3)
+                radius = 0.18 + 0.10 * ci
+                intensity = 1.0 + 0.5 * ci
+                vol = intensity * _blob(s, center, radius, rng)
+                if mod == "PET":
+                    vol = 0.8 * vol + 0.2 * _blob(s, center, radius * 1.5, rng)
+                vol = vol + 0.05 * rng.normal(size=s).astype(np.float32)
+                scan_dir = class_dir / pid / "scan"
+                scan_dir.mkdir(parents=True, exist_ok=True)
+                suffix = "_AV45.nii" if mod == "PET" else "_MR.nii.gz"
+                write_nifti(
+                    scan_dir / f"{pid}{suffix}", vol.astype(np.float32)
+                )
+    return root
