@@ -1,0 +1,125 @@
+"""Shared main() for the three fusion trainers."""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+from otfusion_tpu.cli.common import (
+    add_common_args,
+    add_ot_args,
+    apply_device_flag,
+    resolve_dtype,
+    resolve_multimodal_split,
+    set_seed,
+)
+
+
+def fusion_main(
+    *,
+    variant: str,
+    description: str,
+    default_save_path: str,
+    class_names_a=None,
+    class_names_b=None,
+    argv=None,
+):
+    parser = argparse.ArgumentParser(
+        description=description,
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    add_common_args(
+        parser, epochs=50, batch_size=2, lr=1e-5,
+        save_path=default_save_path, data_dir="datasets/ADNI/MRI-PET",
+    )
+    add_ot_args(parser)
+    args = parser.parse_args(argv)
+    apply_device_flag(args.device)
+    set_seed(args.seed)
+
+    # Imports after the device flag so JAX initialises the right platform.
+    from otfusion_tpu.data.datasets import (
+        CLASS_NAMES_MRI_BINARY,
+        CLASS_NAMES_PET_BINARY,
+        MultimodalNiftiDataset,
+    )
+    from otfusion_tpu.data.splits import load_fixed_split
+    from otfusion_tpu.train.loop import run_fusion_training
+
+    table_a = class_names_a or CLASS_NAMES_MRI_BINARY
+    table_b = class_names_b or CLASS_NAMES_PET_BINARY
+
+    patient_filter = None
+    args._fixed_split = None
+    if args.load_patient_ids:
+        spec = load_fixed_split(args.load_patient_ids, table_a)
+        if spec["mode"] == "paths":
+            args._fixed_split = spec
+        elif spec["mode"] == "ids":
+            # train/val patient-ID split: merge into one filter; the split
+            # itself re-applies per subset below.
+            args._fixed_split = None
+            patient_filter = {
+                k: spec["train"].get(k, []) + spec["val"].get(k, [])
+                for k in table_a
+            }
+        else:
+            patient_filter = spec["filter"]
+
+    dataset = MultimodalNiftiDataset(
+        root_dir=args.data_dir,
+        class_names_a=table_a,
+        class_names_b=table_b,
+        max_samples_per_class=args.max_samples_per_class,
+        patient_ids_filter=patient_filter,
+        seed=args.seed,
+    )
+    print(f"Found {len(dataset)} paired samples")
+
+    repo_root = Path(args.data_dir).resolve().parent
+    train_idx, val_idx = resolve_multimodal_split(args, dataset, repo_root)
+    print(f"Split: {len(train_idx)} train / {len(val_idx)} val")
+
+    result = run_fusion_training(
+        samples=dataset.samples,
+        train_idx=train_idx,
+        val_idx=val_idx,
+        class_names=table_a,
+        variant=variant,
+        model_depth=args.model_depth,
+        target_shape=tuple(args.target_shape),
+        batch_size=args.batch_size,
+        lr=args.lr,
+        epochs=args.epochs,
+        seed=args.seed,
+        save_path=args.save_path,
+        augment=args.augment,
+        projection_dropout=args.projection_dropout,
+        max_jax_samples=args.max_jax_samples,
+        ot_epsilon=args.ot_epsilon,
+        gw_max_iterations=args.gw_max_iterations,
+        sinkhorn_max_iterations=args.sinkhorn_max_iterations,
+        mri_pretrained=args.mri_pretrained,
+        pet_pretrained=args.pet_pretrained,
+        dtype=resolve_dtype(args.dtype),
+        num_classes=2,
+        config_lines={
+            "Dataset": args.data_dir,
+            "Train/Val Split": f"{1 - args.val_fraction:.1%}/"
+                               f"{args.val_fraction:.1%}",
+            "Total Samples": len(dataset),
+            "Train Samples": len(train_idx),
+            "Val Samples": len(val_idx),
+            "Batch Size": args.batch_size,
+            "Learning Rate": args.lr,
+            "Target Shape": list(args.target_shape),
+            "Model Depth": args.model_depth,
+            "Device": args.device,
+        },
+    )
+    print(f"Best val loss: {result['best_val_loss']:.4f}")
+    if result["best_summary"]:
+        print(json.dumps(result["best_summary"], indent=2, default=float))
+    print("Training complete!")
+    return result

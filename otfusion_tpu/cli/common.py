@@ -1,0 +1,124 @@
+"""Shared CLI plumbing: argparse groups, seeding, split resolution."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+from pathlib import Path
+
+import numpy as np
+
+
+def add_common_args(parser: argparse.ArgumentParser, *, epochs: int,
+                    batch_size: int, lr: float, save_path: str,
+                    data_dir: str, num_workers: int = 4) -> None:
+    parser.add_argument("--data-dir", type=str, default=data_dir,
+                        help="Root directory of the ADNI class folders")
+    parser.add_argument("--epochs", type=int, default=epochs)
+    parser.add_argument("--batch-size", type=int, default=batch_size)
+    parser.add_argument("--num-workers", type=int, default=num_workers,
+                        help="Loader threads (kept for flag parity)")
+    parser.add_argument("--lr", type=float, default=lr)
+    parser.add_argument("--val-fraction", type=float, default=0.2)
+    parser.add_argument("--target-shape", type=int, nargs=3,
+                        default=(128, 128, 128), metavar=("D", "H", "W"))
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--save-path", type=str, default=save_path)
+    parser.add_argument("--augment", action="store_true")
+    parser.add_argument("--device", type=str, default="tpu",
+                        help="Accelerator platform (tpu; cpu for debugging)")
+    parser.add_argument("--max-samples-per-class", type=int, default=None)
+    parser.add_argument("--load-patient-ids", type=str, default=None,
+                        help="Fixed-split or patient-filter JSON")
+    parser.add_argument("--model-depth", type=int, default=101,
+                        choices=[10, 18, 34, 50, 101, 152, 200])
+    parser.add_argument("--dtype", type=str, default="bfloat16",
+                        choices=["bfloat16", "float32"],
+                        help="Compute dtype (TPU-native addition)")
+
+
+def add_ot_args(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument("--max-jax-samples", type=int, default=64,
+                        help="Max samples per label for OT computation")
+    parser.add_argument("--ot-epsilon", type=float, default=5e-3)
+    parser.add_argument("--gw-max-iterations", type=int, default=2000)
+    parser.add_argument("--sinkhorn-max-iterations", type=int, default=2000)
+    parser.add_argument("--projection-dropout", type=float, default=0.3)
+    parser.add_argument("--mri-pretrained", type=str, default=None,
+                        help="Checkpoint dir of a unimodal MRI backbone")
+    parser.add_argument("--pet-pretrained", type=str, default=None,
+                        help="Checkpoint dir of a unimodal PET backbone")
+
+
+def set_seed(seed: int) -> None:
+    """Host-side seeding (3D_resnet.py set_seed parity; device randomness
+    is keyed explicitly via jax.random)."""
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def resolve_dtype(name: str):
+    import jax.numpy as jnp
+
+    return jnp.bfloat16 if name == "bfloat16" else jnp.float32
+
+
+def apply_device_flag(device: str) -> None:
+    if device == "cpu":
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    enable_compilation_cache()
+
+
+def enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache: the OT pipelines are nested
+    while_loops that cost minutes to compile on TPU the first time; cached
+    compiles make subsequent runs start in seconds."""
+    import jax
+
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "otfusion_jax"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without the knobs — harmless
+
+
+def resolve_multimodal_split(args, dataset, repo_root: Path):
+    """Shared split logic of the fusion trainers (attn:1083-1165):
+    fixed path-split JSON, patient-ID filter, or stratified split. Returns
+    (train_idx, val_idx), after emitting patient_ids/split artifacts."""
+    from otfusion_tpu.data.splits import (
+        indices_from_path_entries,
+        save_path_split,
+        stratified_split,
+    )
+
+    save_dir = Path(args.save_path)
+    save_dir.mkdir(parents=True, exist_ok=True)
+    with open(save_dir / "patient_ids_all.json", "w") as f:
+        json.dump(dataset.patient_ids_used, f, indent=2)
+
+    if getattr(args, "_fixed_split", None):
+        spec = args._fixed_split
+        train_idx = indices_from_path_entries(
+            spec["train"], dataset.samples, repo_root
+        )
+        val_idx = indices_from_path_entries(
+            spec["val"], dataset.samples, repo_root
+        )
+    else:
+        labels = [s[2] for s in dataset.samples]
+        train_idx, val_idx = stratified_split(
+            labels, args.val_fraction, args.seed
+        )
+
+    save_path_split(save_dir / "train_split.json", dataset.samples,
+                    train_idx, repo_root)
+    save_path_split(save_dir / "val_split.json", dataset.samples,
+                    val_idx, repo_root)
+    return train_idx, val_idx

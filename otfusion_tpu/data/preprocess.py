@@ -66,16 +66,48 @@ def random_flips(volume: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
     return volume
 
 
+def resize_trilinear_np(
+    volume: np.ndarray, target_shape: tuple[int, int, int]
+) -> np.ndarray:
+    """Pure-NumPy trilinear resize with the same half-pixel-centres
+    convention as ``resize_trilinear`` (align_corners=False). Used on
+    loader threads: calling jitted device code from multiple host threads
+    deadlocks on some platforms, and keeping preprocessing host-side frees
+    the device for the train step."""
+    volume = np.asarray(volume, np.float32)
+    out = volume
+    for axis, new_size in enumerate(target_shape):
+        old_size = out.shape[axis]
+        if old_size == new_size:
+            continue
+        scale = old_size / new_size
+        coords = (np.arange(new_size, dtype=np.float32) + 0.5) * scale - 0.5
+        coords = np.clip(coords, 0.0, old_size - 1)
+        lo = np.floor(coords).astype(np.int64)
+        hi = np.minimum(lo + 1, old_size - 1)
+        w = (coords - lo).astype(np.float32)
+        moved = np.moveaxis(out, axis, 0)
+        shape_w = (new_size,) + (1,) * (moved.ndim - 1)
+        interp = moved[lo] * (1.0 - w.reshape(shape_w)) + moved[hi] * w.reshape(shape_w)
+        out = np.moveaxis(interp, 0, axis)
+    return out
+
+
 def load_volume(
     path: str | Path,
     target_shape: tuple[int, int, int],
 ) -> np.ndarray:
-    """Host I/O + device preprocessing for one scan. Returns a
-    (D, H, W, 1) float32 array."""
+    """Host I/O + host preprocessing for one scan (thread-safe; no device
+    work). Returns a (D, H, W, 1) float32 array: nan_to_num -> trilinear
+    resize -> z-score (Bessel std + 1e-5, torch parity)."""
     raw = read_nifti(path)
-    raw = np.asarray(raw, np.float32)
+    raw = np.nan_to_num(np.asarray(raw, np.float32))
     if raw.ndim == 4:
         raw = raw[..., 0]  # first volume of a 4D series
     elif raw.ndim != 3:
         raise ValueError(f"{path}: expected 3D/4D volume, got {raw.shape}")
-    return np.asarray(preprocess_volume(raw, tuple(target_shape)))
+    vol = resize_trilinear_np(raw, tuple(target_shape))
+    mean = vol.mean()
+    std = vol.std(ddof=1) if vol.size > 1 else 0.0
+    vol = (vol - mean) / (std + 1e-5)
+    return vol[..., None]

@@ -1,0 +1,44 @@
+"""Backbone registry (reference Models/generate_model.py parity).
+
+``build_backbone(name)`` maps the reference's model-builder surface onto
+the Flax zoo:
+
+  resnet3d-{10,18,34,50,101,152,200}   inline 3D ResNet backbone
+  medicalnet-{10,...,200}              dilated MedicalNet trunk
+  res2net50_v1b_26w_4s                 2D multi-scale encoder (2048-d)
+  swin_base_384                        2D Swin (returns (tokens, pooled))
+  unetr_vit                            3D ViT encoder (768-d)
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+
+from otfusion_tpu.models.medicalnet import MedicalNetResNet
+from otfusion_tpu.models.res2net import res2net50_v1b_26w_4s
+from otfusion_tpu.models.resnet3d import DEPTH_CONFIGS, ResNet3DBackbone
+from otfusion_tpu.models.swin import swin_base_384
+from otfusion_tpu.models.unetr import UNETRViTEncoder
+
+
+def build_backbone(name: str, dtype: Any = jnp.float32, **kwargs):
+    name = name.lower()
+    if name.startswith("resnet3d-"):
+        depth = int(name.split("-")[1])
+        if depth not in DEPTH_CONFIGS:
+            raise ValueError(f"unsupported depth {depth}")
+        return ResNet3DBackbone(depth=depth, dtype=dtype, **kwargs)
+    if name.startswith("medicalnet-"):
+        depth = int(name.split("-")[1])
+        if depth not in DEPTH_CONFIGS:
+            raise ValueError(f"unsupported depth {depth}")
+        return MedicalNetResNet(depth=depth, dtype=dtype, **kwargs)
+    if name == "res2net50_v1b_26w_4s":
+        return res2net50_v1b_26w_4s(dtype=dtype)
+    if name == "swin_base_384":
+        return swin_base_384(dtype=dtype)
+    if name == "unetr_vit":
+        return UNETRViTEncoder(dtype=dtype, **kwargs)
+    raise ValueError(f"unknown backbone: {name}")

@@ -1,0 +1,388 @@
+"""Epoch-loop engines shared by the CLI drivers.
+
+``run_unimodal_training`` mirrors 3D_resnet.py main() (:705-1050):
+Adam, no LR schedule, best-by-val-loss checkpoint, confusion matrix +
+t-SNE of the best model's validation embeddings.
+
+``run_fusion_training`` covers all three fusion trainers with one engine:
+  * variant "per_epoch_attn" — MRI_PET_OT_OT_per_epoch_attn.py main()
+    (:1068-1358): coupling from the full train set before epoch 1 and
+    after every epoch except the last; forward requires Tv.
+  * variant "base" — MRI_PET_OT.py main() (:962-1170): in-batch FOT inside
+    the train step; per-epoch coupling used for validation only.
+  * variant "mmfusion" — the no-OT baseline (trainer absent from the
+    reference tree; recreated per SURVEY.md §7 to reproduce
+    best_mmfusion_results.csv).
+All three: AdamW(wd=1e-5) + ReduceLROnPlateau(0.5, patience 5) stepped per
+epoch on val loss, best-by-val-loss checkpointing, fusion-style
+results.txt, final confusion matrix (+ t-SNE of best-model logits for the
+flagship).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from otfusion_tpu.data.loader import Loader, MultimodalLoader, _VolumeCache
+from otfusion_tpu.metrics.classification import classification_metrics
+from otfusion_tpu.models import MultimodalOTFusion, ResNet3DClassifier
+from otfusion_tpu.models.resnet3d import feature_dim
+from otfusion_tpu.train.coupling import CouplingService
+from otfusion_tpu.train.steps import (
+    make_feature_extract_step,
+    make_fusion_eval_step,
+    make_fusion_train_step,
+    make_unimodal_eval_step,
+    make_unimodal_train_step,
+)
+from otfusion_tpu.train.train_state import (
+    ReduceLROnPlateau,
+    create_train_state,
+    set_learning_rate,
+)
+from otfusion_tpu.utils.checkpoint import (
+    restore_backbone,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from otfusion_tpu.utils.plotting import (
+    save_confusion_matrix_png,
+    save_tsne_png,
+)
+from otfusion_tpu.utils.reporting import ResultsWriter
+
+
+@dataclass
+class EpochResult:
+    train_loss: float
+    train_acc: float
+    val_loss: float
+    val_acc: float
+    metrics: Dict[str, float]
+
+
+def _run_train_epoch(train_step, state, loader, extra_args, rng_base):
+    total_loss, total_correct, total_n = 0.0, 0, 0
+    for i, batch in enumerate(loader):
+        arrays = tuple(jnp.asarray(a) for a in batch)
+        rng = jax.random.fold_in(rng_base, i)
+        state, met = train_step(state, *arrays, *extra_args, rng)
+        n = int(arrays[-1].shape[0])
+        total_loss += float(met["loss"]) * n
+        total_correct += int(met["correct"])
+        total_n += n
+    return state, total_loss / total_n, total_correct / total_n
+
+
+def _run_eval_epoch(eval_step, state, loader, extra_args,
+                    collect_logits=False):
+    total_loss, total_correct, total_n = 0.0, 0, 0
+    preds: List[int] = []
+    targets: List[int] = []
+    logits_all = []
+    for batch in loader:
+        arrays = tuple(jnp.asarray(a) for a in batch)
+        out = eval_step(state, *arrays, *extra_args)
+        n = int(arrays[-1].shape[0])
+        total_loss += float(out["loss"]) * n
+        total_correct += int(out["correct"])
+        total_n += n
+        preds.extend(np.asarray(out["preds"]).tolist())
+        targets.extend(np.asarray(arrays[-1]).tolist())
+        if collect_logits:
+            logits_all.append(np.asarray(out["logits"]))
+    logits = np.concatenate(logits_all) if logits_all else None
+    return total_loss / total_n, total_correct / total_n, preds, targets, logits
+
+
+def run_fusion_training(
+    *,
+    samples: Sequence,
+    train_idx: Sequence[int],
+    val_idx: Sequence[int],
+    class_names: Dict[str, int],
+    variant: str,
+    model_depth: int,
+    target_shape,
+    batch_size: int,
+    lr: float,
+    epochs: int,
+    seed: int,
+    save_path: str,
+    augment: bool = False,
+    projection_dropout: float = 0.3,
+    max_jax_samples: int = 64,
+    ot_epsilon: float = 5e-3,
+    gw_max_iterations: int = 2000,
+    sinkhorn_max_iterations: int = 2000,
+    mri_pretrained: Optional[str] = None,
+    pet_pretrained: Optional[str] = None,
+    dtype=jnp.float32,
+    num_classes: int = 2,
+    results_title: str = (
+        "Multimodal MRI-PET with Optimal Transport - ADNI Dataset"
+    ),
+    config_lines: Optional[Dict[str, object]] = None,
+    progress: bool = True,
+) -> Dict[str, object]:
+    if not len(val_idx) or not len(train_idx):
+        raise ValueError(
+            f"empty split: {len(train_idx)} train / {len(val_idx)} val "
+            "samples — increase --val-fraction or the cohort size")
+    os.makedirs(save_path, exist_ok=True)
+    results_file = os.path.join(save_path, "results.txt")
+    model_dir = os.path.join(save_path, "best_model")
+
+    cache = _VolumeCache(target_shape)
+    train_samples = [samples[i] for i in train_idx]
+    val_samples = [samples[i] for i in val_idx]
+    train_loader = MultimodalLoader(
+        train_samples, target_shape, batch_size, shuffle=True,
+        augment=augment, seed=seed, cache=cache,
+    )
+    # Deterministic-order loader for feature extraction (no augmentation).
+    feat_loader = MultimodalLoader(
+        train_samples, target_shape, batch_size, shuffle=False, cache=cache,
+    )
+    val_loader = MultimodalLoader(
+        val_samples, target_shape, batch_size, shuffle=False, cache=cache,
+    )
+
+    model = MultimodalOTFusion(
+        num_classes=num_classes,
+        depth=model_depth,
+        projection_dropout=projection_dropout,
+        variant=variant,
+        dtype=dtype,
+    )
+    d = feature_dim(model_depth)
+    uniform_tv = jnp.full((d, d), 1.0 / (d * d), jnp.float32)
+    needs_tv = variant == "per_epoch_attn"
+    init_tv = uniform_tv if needs_tv else None
+
+    mri0, pet0, _ = next(iter(feat_loader))
+    state = create_train_state(
+        model, jax.random.key(seed),
+        (jnp.asarray(mri0), jnp.asarray(pet0)),
+        lr, optimizer="adamw", t_feature=init_tv,
+    )
+    if mri_pretrained:
+        state = restore_backbone(state, mri_pretrained, "mri_backbone")
+    if pet_pretrained:
+        state = restore_backbone(state, pet_pretrained, "pet_backbone")
+
+    train_step = make_fusion_train_step(
+        model,
+        in_batch_fot=(variant == "base"),
+        fot_epsilon=1e-3,
+        donate=False,
+    )
+    eval_step = make_fusion_eval_step(model)
+    svc = None
+    if variant in ("per_epoch_attn", "base"):
+        svc = CouplingService(
+            make_feature_extract_step(model),
+            n_labels=num_classes,
+            max_samples_per_label=max_jax_samples,
+            epsilon=ot_epsilon,
+            gw_max_iterations=gw_max_iterations,
+            sinkhorn_max_iterations=sinkhorn_max_iterations,
+            fot_epsilon=ot_epsilon,
+        )
+
+    writer = ResultsWriter(
+        results_file, results_title, config_lines or {}, style="fusion",
+    )
+    scheduler = ReduceLROnPlateau(lr, factor=0.5, patience=5)
+    best_val_loss = float("inf")
+    best_summary = None
+    rng_base = jax.random.key(seed + 1)
+
+    def compute_tv():
+        return svc.compute(state, iter(feat_loader))
+
+    tv = compute_tv() if needs_tv else None
+
+    history = []
+    for epoch in range(1, epochs + 1):
+        t0 = time.time()
+        state, train_loss, train_acc = _run_train_epoch(
+            train_step, state, train_loader,
+            (tv if needs_tv else None,),
+            jax.random.fold_in(rng_base, epoch),
+        )
+        # Note: the base reference recomputes the coupling each epoch and
+        # hands it to evaluate (MRI_PET_OT.py:1072-1101), but evaluation
+        # never uses it (ot_loss is 0 outside training, :663-707), so the
+        # solve is skipped here — identical metrics, one less EGW+FOT pass.
+        val_loss, val_acc, preds, targets, _ = _run_eval_epoch(
+            eval_step, state, val_loader, (tv if needs_tv else None,)
+        )
+        metrics = classification_metrics(targets, preds, num_classes)
+        writer.epoch_row(epoch, train_loss, train_acc, val_loss, val_acc,
+                         metrics)
+        history.append(EpochResult(train_loss, train_acc, val_loss, val_acc,
+                                   metrics))
+        if progress:
+            print(
+                f"Epoch {epoch:03d} | train_loss={train_loss:.4f} "
+                f"train_acc={train_acc:.4f} | val_loss={val_loss:.4f} "
+                f"val_acc={val_acc:.4f} | f1={metrics['f1']:.4f} "
+                f"({time.time() - t0:.1f}s)"
+            )
+
+        if val_loss < best_val_loss:
+            best_val_loss = val_loss
+            best_summary = {"epoch": epoch, "val_loss": val_loss,
+                            "val_acc": val_acc, **metrics}
+            save_checkpoint(model_dir, state, best_summary)
+
+        new_lr = scheduler.step(val_loss)
+        state = set_learning_rate(state, new_lr)
+
+        if needs_tv and epoch < epochs:
+            tv = compute_tv()
+
+    writer.summary(best_val_loss, best_summary, model_dir)
+
+    # Best-model final evaluation + artifacts (attn:1316-1356).
+    state = restore_checkpoint(model_dir, state)
+    final_tv = compute_tv() if needs_tv else None
+    _, _, preds, targets, logits = _run_eval_epoch(
+        eval_step, state, val_loader, (final_tv,), collect_logits=True,
+    )
+    save_confusion_matrix_png(
+        targets, preds, class_names,
+        os.path.join(save_path, "confusion_matrix.png"),
+    )
+    if variant == "per_epoch_attn" and logits is not None and len(logits) > 3:
+        save_tsne_png(logits, targets,
+                      os.path.join(save_path, "tsne_best_val.png"))
+
+    return {
+        "best_val_loss": best_val_loss,
+        "best_summary": best_summary,
+        "history": history,
+        "model_dir": model_dir,
+    }
+
+
+def run_unimodal_training(
+    *,
+    samples: Sequence,
+    train_idx: Sequence[int],
+    val_idx: Sequence[int],
+    class_names: Dict[str, int],
+    model_depth: int,
+    target_shape,
+    batch_size: int,
+    lr: float,
+    epochs: int,
+    seed: int,
+    save_path: str,
+    augment: bool = False,
+    dtype=jnp.float32,
+    results_title: str = "3D ResNet Training Results - ADNI MRI Dataset",
+    config_lines: Optional[Dict[str, object]] = None,
+    progress: bool = True,
+) -> Dict[str, object]:
+    if not len(val_idx) or not len(train_idx):
+        raise ValueError(
+            f"empty split: {len(train_idx)} train / {len(val_idx)} val "
+            "samples — increase --val-fraction or the cohort size")
+    os.makedirs(save_path, exist_ok=True)
+    results_file = os.path.join(save_path, "results.txt")
+    model_dir = os.path.join(save_path, "best_model")
+    num_classes = len(class_names)
+
+    cache = _VolumeCache(target_shape)
+    train_loader = Loader(
+        [samples[i] for i in train_idx], target_shape, batch_size,
+        shuffle=True, augment=augment, seed=seed, cache=cache,
+    )
+    val_loader = Loader(
+        [samples[i] for i in val_idx], target_shape, batch_size,
+        shuffle=False, cache=cache,
+    )
+
+    model = ResNet3DClassifier(depth=model_depth, num_classes=num_classes,
+                               dtype=dtype)
+    vol0, _ = next(iter(val_loader)) if len(val_loader) else next(iter(train_loader))
+    state = create_train_state(
+        model, jax.random.key(seed), (jnp.asarray(vol0),), lr,
+        optimizer="adam",
+    )
+    train_step = make_unimodal_train_step(model, donate=False)
+    eval_step = make_unimodal_eval_step(model)
+
+    writer = ResultsWriter(results_file, results_title, config_lines or {},
+                           style="unimodal")
+    best_val_loss = float("inf")
+    best_summary = None
+    rng_base = jax.random.key(seed + 1)
+
+    history = []
+    for epoch in range(1, epochs + 1):
+        t0 = time.time()
+        state, train_loss, train_acc = _run_train_epoch(
+            train_step, state, train_loader, (),
+            jax.random.fold_in(rng_base, epoch),
+        )
+        val_loss, val_acc, preds, targets, _ = _run_eval_epoch(
+            eval_step, state, val_loader, ()
+        )
+        metrics = classification_metrics(targets, preds, num_classes)
+        writer.epoch_row(epoch, train_loss, train_acc, val_loss, val_acc,
+                         metrics)
+        history.append(EpochResult(train_loss, train_acc, val_loss, val_acc,
+                                   metrics))
+        if progress:
+            print(
+                f"Epoch {epoch:03d} | train_loss={train_loss:.4f} "
+                f"train_acc={train_acc:.4f} | val_loss={val_loss:.4f} "
+                f"val_acc={val_acc:.4f} | f1={metrics['f1']:.4f} "
+                f"({time.time() - t0:.1f}s)"
+            )
+        if val_loss < best_val_loss:
+            best_val_loss = val_loss
+            best_summary = {"epoch": epoch, "val_loss": val_loss,
+                            "val_acc": val_acc, **metrics}
+            save_checkpoint(model_dir, state, best_summary)
+
+    writer.summary(best_val_loss, best_summary, model_dir)
+
+    # Best-model artifacts: confusion matrix + t-SNE of pooled features
+    # (3D_resnet.py:1016-1047).
+    state = restore_checkpoint(model_dir, state)
+    feats_all, preds, targets = [], [], []
+    for batch in val_loader:
+        arrays = tuple(jnp.asarray(a) for a in batch)
+        out = eval_step(state, *arrays)
+        preds.extend(np.asarray(out["preds"]).tolist())
+        targets.extend(np.asarray(arrays[-1]).tolist())
+        feats_all.append(np.asarray(out["features"]))
+    save_confusion_matrix_png(
+        targets, preds, class_names,
+        os.path.join(save_path, "confusion_matrix.png"),
+    )
+    feats = np.concatenate(feats_all) if feats_all else None
+    if feats is not None and len(feats) > 3:
+        save_tsne_png(feats, targets,
+                      os.path.join(save_path, "tsne_best_val.png"),
+                      title="t-SNE of Validation Predictions (Best 3D ResNet)")
+
+    return {
+        "best_val_loss": best_val_loss,
+        "best_summary": best_summary,
+        "history": history,
+        "model_dir": model_dir,
+    }

@@ -42,6 +42,7 @@ def make_fusion_train_step(
     fot_epsilon: float = 1e-3,
     fot_max_iterations: int = 2000,
     donate: bool = True,
+    jit: bool = True,
 ) -> Callable:
     """Train step for MultimodalOTFusion.
 
@@ -93,6 +94,8 @@ def make_fusion_train_step(
         }
         return state, metrics
 
+    if not jit:
+        return step
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
