@@ -1,0 +1,282 @@
+"""perturbot.match-parity coupling API.
+
+The reference's OT alignment library exposes a family of
+``get_coupling_*((X_dict, Y_dict), eps) -> (T | T_dict, log)`` functions
+(perturbot/perturbot/match/: ott_egwl.py, gw.py, gw_labels.py,
+cot_labels.py, fot.py). This module provides the same surface backed by
+the TPU-native solvers; per-label families are padded to a static cap and
+solved as one vmapped XLA program instead of Python loops of CPU solves.
+
+Dict convention matches the reference: keys are labels; values are
+(n_l, d) feature arrays; logs carry per-label iteration counts,
+convergence flags, costs, and wall time.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from otfusion_tpu.ops.cot import cotl
+from otfusion_tpu.ops.costs import pairwise_sq_euclidean, scale_by_max
+from otfusion_tpu.ops.fot import get_coupling_fot  # re-export for parity
+from otfusion_tpu.ops.gromov import (
+    egw_per_label,
+    entropic_gw,
+    entropic_gw_labels,
+)
+from otfusion_tpu.ops.sinkhorn import sinkhorn
+
+__all__ = [
+    "get_coupling_egw_ott",
+    "get_coupling_egw_labels_ott",
+    "get_coupling_egw_all_ott",
+    "get_coupling_eot_ott",
+    "get_coupling_leot_ott",
+    "get_coupling_cotl",
+    "get_coupling_cotl_sinkhorn",
+    "get_coupling_gw_cg",
+    "get_coupling_egw_pgd",
+    "get_coupling_gw_all",
+    "get_coupling_egw_all",
+    "get_coupling_fot",
+]
+
+
+def _pad_dicts(x_dict, y_dict):
+    labels = sorted(x_dict.keys())
+    cap_x = max(x_dict[l].shape[0] for l in labels)
+    cap_y = max(y_dict[l].shape[0] for l in labels)
+    d = x_dict[labels[0]].shape[1]
+    dp = y_dict[labels[0]].shape[1]
+    xs = np.zeros((len(labels), cap_x, d), np.float32)
+    ys = np.zeros((len(labels), cap_y, dp), np.float32)
+    xm = np.zeros((len(labels), cap_x), bool)
+    ym = np.zeros((len(labels), cap_y), bool)
+    for i, l in enumerate(labels):
+        nx, ny = x_dict[l].shape[0], y_dict[l].shape[0]
+        xs[i, :nx] = x_dict[l]
+        ys[i, :ny] = y_dict[l]
+        xm[i, :nx] = True
+        ym[i, :ny] = True
+    return labels, xs, ys, xm, ym
+
+
+def _concat_dicts(x_dict, y_dict):
+    labels = sorted(x_dict.keys())
+    x = np.concatenate([x_dict[l] for l in labels]).astype(np.float32)
+    y = np.concatenate([y_dict[l] for l in labels]).astype(np.float32)
+    lx = np.concatenate(
+        [np.full(x_dict[l].shape[0], i) for i, l in enumerate(labels)]
+    )
+    ly = np.concatenate(
+        [np.full(y_dict[l].shape[0], i) for i, l in enumerate(labels)]
+    )
+    return labels, x, y, lx, ly
+
+
+def _split_by_label(t, labels, lx, ly):
+    out = {}
+    for i, l in enumerate(labels):
+        out[l] = np.asarray(t)[np.ix_(lx == i, ly == i)]
+    return out
+
+
+def get_coupling_egw_ott(
+    data: Tuple[Dict, Dict], eps: float = 5e-3,
+    gw_max_iterations: int = 2000, sinkhorn_max_iterations: int = 2000,
+) -> Tuple[Dict, Dict]:
+    """Per-label entropic GW — the live coupling path
+    (reference get_coupling_egw_ott_fixed, MRI_PET_OT.py:68-122 /
+    ott_egwl.py:129-206), solved batched on device."""
+    x_dict, y_dict = data
+    labels, xs, ys, xm, ym = _pad_dicts(x_dict, y_dict)
+    start = time.time()
+    res = egw_per_label(
+        jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(xm), jnp.asarray(ym),
+        epsilon=eps, max_iterations=gw_max_iterations,
+        sinkhorn_max_iterations=sinkhorn_max_iterations,
+    )
+    elapsed = time.time() - start
+    ts, log = {}, {}
+    for i, l in enumerate(labels):
+        nx, ny = x_dict[l].shape[0], y_dict[l].shape[0]
+        ts[l] = np.asarray(res.coupling[i])[:nx, :ny]
+        log[l] = {
+            "n_iters_outer": int(res.n_iters[i]),
+            "converged_outer": bool(res.converged[i]),
+            "converged_inner": bool(res.linear_converged[i]),
+            "GW cost": float(res.cost[i]),
+            "time": elapsed / len(labels),
+            "cost_time": 0.0,
+        }
+    return ts, log
+
+
+def get_coupling_egw_labels_ott(
+    data: Tuple[Dict, Dict], eps: float = 5e-3,
+) -> Tuple[Dict, Dict]:
+    """Global label-constrained EGW (the vendored-OTT-fork behaviour,
+    ott_egwl.py:25-126), split back into per-label blocks."""
+    x_dict, y_dict = data
+    labels, x, y, lx, ly = _concat_dicts(x_dict, y_dict)
+    start = time.time()
+    res = entropic_gw_labels(
+        jnp.asarray(x), jnp.asarray(y), jnp.asarray(lx), jnp.asarray(ly),
+        epsilon=eps,
+    )
+    log = {
+        "n_iters_outer": int(res.n_iters),
+        "converged_outer": bool(res.converged),
+        "GW cost": float(res.cost),
+        "time": time.time() - start,
+    }
+    return _split_by_label(res.coupling, labels, lx, ly), log
+
+
+def get_coupling_egw_all_ott(
+    data: Tuple[Dict, Dict], eps: float = 5e-3,
+) -> Tuple[np.ndarray, Dict]:
+    """All-to-all entropic GW ignoring labels (ott_egwl.py:209-296)."""
+    x_dict, y_dict = data
+    _, x, y, _, _ = _concat_dicts(x_dict, y_dict)
+    start = time.time()
+    res = entropic_gw(jnp.asarray(x), jnp.asarray(y), epsilon=eps)
+    log = {
+        "n_iters_outer": int(res.n_iters),
+        "converged_outer": bool(res.converged),
+        "GW cost": float(res.cost),
+        "time": time.time() - start,
+    }
+    return np.asarray(res.coupling), log
+
+
+def get_coupling_eot_ott(
+    data: Tuple[Dict, Dict], eps: float = 5e-3,
+) -> Tuple[np.ndarray, Dict]:
+    """Plain entropic OT on the cross squared-Euclidean cost
+    (ott_egwl.py:299-372; requires matching feature dims)."""
+    x_dict, y_dict = data
+    _, x, y, _, _ = _concat_dicts(x_dict, y_dict)
+    start = time.time()
+    cost = pairwise_sq_euclidean(jnp.asarray(x), jnp.asarray(y))
+    res = sinkhorn(cost, epsilon=eps, scale_cost=True)
+    log = {
+        "n_iters": int(res.n_iters),
+        "converged": bool(res.converged),
+        "cost": float(res.cost),
+        "time": time.time() - start,
+    }
+    return np.asarray(res.coupling), log
+
+
+def get_coupling_leot_ott(
+    data: Tuple[Dict, Dict], eps: float = 5e-3,
+) -> Tuple[Dict, Dict]:
+    """Label-constrained entropic OT, split per label
+    (ott_egwl.py:375-454)."""
+    x_dict, y_dict = data
+    labels, x, y, lx, ly = _concat_dicts(x_dict, y_dict)
+    start = time.time()
+    cost = pairwise_sq_euclidean(jnp.asarray(x), jnp.asarray(y))
+    res = sinkhorn(
+        cost, epsilon=eps, scale_cost=True,
+        plan_mask=jnp.asarray(lx)[:, None] == jnp.asarray(ly)[None, :],
+    )
+    log = {
+        "n_iters": int(res.n_iters),
+        "converged": bool(res.converged),
+        "cost": float(res.cost),
+        "time": time.time() - start,
+    }
+    return _split_by_label(res.coupling, labels, lx, ly), log
+
+
+def _cotl_wrapper(data, eps, feature_eps=None):
+    x_dict, y_dict = data
+    labels, xs, ys, xm, ym = _pad_dicts(x_dict, y_dict)
+    start = time.time()
+    res = cotl(
+        jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(xm), jnp.asarray(ym),
+        epsilon=eps, feature_epsilon=feature_eps,
+    )
+    ts = {}
+    for i, l in enumerate(labels):
+        nx, ny = x_dict[l].shape[0], y_dict[l].shape[0]
+        ts[l] = np.asarray(res.sample_couplings[i])[:nx, :ny]
+    log = {
+        "cost": [float(res.cost)],
+        "n_iters": int(res.n_iters),
+        "converged": bool(res.converged),
+        "time": time.time() - start,
+        "Tv": np.asarray(res.feature_coupling),
+    }
+    return ts, log
+
+
+def get_coupling_cotl(
+    data: Tuple[Dict, Dict], eps: float = 0.2,
+) -> Tuple[Dict, Dict]:
+    """Labeled CO-Optimal Transport (cot_labels.py:228-277)."""
+    return _cotl_wrapper(data, eps)
+
+
+def get_coupling_cotl_sinkhorn(
+    data: Tuple[Dict, Dict], eps: float = 0.2,
+) -> Tuple[Dict, Dict]:
+    """COOT-L with entropic solvers on both stages
+    (cot_labels.py:279-340). On TPU both wrappers are entropic; this one
+    keeps the reference's name for its sinkhorn-sinkhorn configuration."""
+    return _cotl_wrapper(data, eps, feature_eps=eps)
+
+
+# ---- host-side exact/ablation family (reference perturbot/match/gw.py) ----
+
+
+def _per_label_host(data, solver):
+    x_dict, y_dict = data
+    ts, log = {}, {}
+    for l in sorted(x_dict.keys()):
+        start = time.time()
+        ts[l] = solver(x_dict[l], y_dict[l])
+        log[l] = {"time": time.time() - start}
+    return ts, log
+
+
+def get_coupling_gw_cg(data: Tuple[Dict, Dict], eps=None) -> Tuple[Dict, Dict]:
+    """Per-label unregularised GW via Frank-Wolfe + exact EMD (host;
+    reference gw.py:7-28/105-110 — eps accepted and ignored, matching the
+    reference's non-entropic solver quirk)."""
+    from otfusion_tpu.ops.emd import gw_conditional_gradient
+
+    return _per_label_host(data, gw_conditional_gradient)
+
+
+def get_coupling_egw_pgd(
+    data: Tuple[Dict, Dict], eps: float = 5e-3,
+) -> Tuple[Dict, Dict]:
+    """Per-label entropic GW, 'PGD' naming parity (gw.py:31-59); solved
+    with the device EGW solver."""
+    return get_coupling_egw_ott(data, eps)
+
+
+def get_coupling_gw_all(data: Tuple[Dict, Dict], eps=None):
+    """Global unregularised GW (gw.py:62-77), host Frank-Wolfe."""
+    from otfusion_tpu.ops.emd import gw_conditional_gradient
+
+    x_dict, y_dict = data
+    _, x, y, _, _ = _concat_dicts(x_dict, y_dict)
+    start = time.time()
+    t = gw_conditional_gradient(x, y)
+    return t, {"time": time.time() - start}
+
+
+def get_coupling_egw_all(
+    data: Tuple[Dict, Dict], eps: float = 5e-3,
+):
+    """Global entropic GW (gw.py:80-102) — device solver."""
+    return get_coupling_egw_all_ott(data, eps)

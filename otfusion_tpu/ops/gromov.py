@@ -144,6 +144,73 @@ def entropic_gw(
     )
 
 
+def entropic_gw_labels(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    labels_x: jnp.ndarray,
+    labels_y: jnp.ndarray,
+    *,
+    epsilon: float = 5e-3,
+    max_iterations: int = 2000,
+    sinkhorn_max_iterations: int = 2000,
+    threshold: float = 1e-3,
+    sinkhorn_threshold: float = 1e-3,
+) -> GWResult:
+    """Label-constrained global entropic GW (EGWL).
+
+    One GW problem over the concatenated cohorts with the transport plan
+    constrained to the block diagonal of matching labels — the native
+    realisation of the missing vendored-OTT fork's ``labels_a`` /
+    ``block_diag_mat`` kwargs (reference ott_egwl.py:25-126): the global
+    self-cost geometries (max-scaled over ALL pairs) drive the
+    linearisation, while off-block plan entries carry infinite cost.
+    """
+    x = jax.lax.stop_gradient(jnp.nan_to_num(jnp.asarray(x, jnp.float32)))
+    y = jax.lax.stop_gradient(jnp.nan_to_num(jnp.asarray(y, jnp.float32)))
+    n, m = x.shape[0], y.shape[0]
+    plan_mask = labels_x[:, None] == labels_y[None, :]
+
+    x = x - jnp.mean(x, axis=0)
+    y = y - jnp.mean(y, axis=0)
+    cx, _ = scale_by_max(pairwise_sq_euclidean(x, x))
+    cy, _ = scale_by_max(pairwise_sq_euclidean(y, y))
+    p = jnp.full((n,), 1.0 / n)
+    q = jnp.full((m,), 1.0 / m)
+    const_c = ((cx * cx) @ p)[:, None] + ((cy * cy) @ q)[None, :]
+
+    def solve_linear(t):
+        return sinkhorn(
+            const_c - 2.0 * cx @ (t @ cy.T),
+            p, q,
+            epsilon=epsilon,
+            max_iterations=sinkhorn_max_iterations,
+            threshold=sinkhorn_threshold,
+            plan_mask=plan_mask,
+        )
+
+    t0 = jnp.where(plan_mask, p[:, None] * q[None, :], 0.0)
+    t0 = t0 / jnp.maximum(jnp.sum(t0), 1e-30)
+
+    def cond(carry):
+        _, err, it, _ = carry
+        return jnp.logical_and(it < max_iterations, err > threshold)
+
+    def body(carry):
+        t, _, it, _ = carry
+        res = solve_linear(t)
+        err = jnp.linalg.norm(res.coupling - t) / jnp.maximum(
+            jnp.linalg.norm(res.coupling), 1e-30
+        )
+        return res.coupling, err, it + 1, res.converged
+
+    t, err, n_iters, lin_conv = jax.lax.while_loop(
+        cond, body, (t0, jnp.float32(jnp.inf), jnp.int32(0),
+                     jnp.asarray(False))
+    )
+    gw_cost = jnp.sum((const_c - 2.0 * cx @ (t @ cy.T)) * t)
+    return GWResult(t, n_iters, err <= threshold, lin_conv, gw_cost, err)
+
+
 def egw_per_label(
     x: jnp.ndarray,
     y: jnp.ndarray,

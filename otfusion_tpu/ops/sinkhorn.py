@@ -89,6 +89,7 @@ def sinkhorn(
     scale_cost: bool = False,
     row_mask: jnp.ndarray | None = None,
     col_mask: jnp.ndarray | None = None,
+    plan_mask: jnp.ndarray | None = None,
 ) -> SinkhornResult:
     """Solve entropic OT ``min_T <C, T> - eps*H(T)`` s.t. marginals (p, q).
 
@@ -103,6 +104,10 @@ def sinkhorn(
       threshold: L1 marginal-error stopping criterion (OTT default 1e-3).
       scale_cost: divide the cost by its (masked) max before solving.
       row_mask, col_mask: boolean validity masks for padded problems.
+      plan_mask: optional (n, m) mask of *allowed* plan entries — the
+        native realisation of the vendored-OTT fork's block-diagonal
+        label constraint (reference ott_egwl.py:89-96): disallowed
+        entries carry infinite cost, i.e. exactly zero mass.
 
     Returns a SinkhornResult. Differentiation does not flow through the
     solve (see module docstring).
@@ -115,10 +120,12 @@ def sinkhorn(
         col_mask = col_mask.astype(bool)
 
     pair_mask = None
-    if row_mask is not None or col_mask is not None:
+    if row_mask is not None or col_mask is not None or plan_mask is not None:
         rm = row_mask if row_mask is not None else jnp.ones((n,), bool)
         cm = col_mask if col_mask is not None else jnp.ones((m,), bool)
         pair_mask = rm[:, None] & cm[None, :]
+        if plan_mask is not None:
+            pair_mask = pair_mask & plan_mask.astype(bool)
 
     if scale_cost:
         cost_scaled, _ = scale_by_max(cost, pair_mask)
