@@ -36,6 +36,47 @@ from otfusion_tpu.ops.costs import pairwise_sq_euclidean, scale_by_max
 from otfusion_tpu.ops.sinkhorn import sinkhorn
 
 
+_STALL_PATIENCE = 25
+
+
+def _gw_outer_loop(solve_linear, t0, max_iterations, threshold):
+    """Shared GW linearisation loop with convergence + stall detection.
+
+    Stops when the relative plan change drops below ``threshold`` OR when
+    it has not improved its best value for _STALL_PATIENCE consecutive
+    iterations — the fp32 error floor otherwise burns the full 2000-
+    iteration reference budget doing nothing (observed on real cohorts:
+    one label converges in ~60 iterations, the other plateaus ~2e-3 and
+    spins to the cap)."""
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    def cond(carry):
+        _, err, it, _, _, stall = carry
+        return _jnp.logical_and(
+            _jnp.logical_and(it < max_iterations, err > threshold),
+            stall < _STALL_PATIENCE,
+        )
+
+    def body(carry):
+        t, _, it, _, best_err, stall = carry
+        res = solve_linear(t)
+        err = _jnp.linalg.norm(res.coupling - t) / _jnp.maximum(
+            _jnp.linalg.norm(res.coupling), 1e-30
+        )
+        improved = err < 0.999 * best_err
+        best_err = _jnp.minimum(best_err, err)
+        stall = _jnp.where(improved, 0, stall + 1)
+        return res.coupling, err, it + 1, res.converged, best_err, stall
+
+    t, err, n_iters, lin_conv, _, _ = _jax.lax.while_loop(
+        cond, body,
+        (t0, _jnp.float32(_jnp.inf), _jnp.int32(0), _jnp.asarray(False),
+         _jnp.float32(_jnp.inf), _jnp.int32(0)),
+    )
+    return t, err, n_iters, lin_conv
+
+
 class GWResult(NamedTuple):
     """Solution of an entropic GW problem (or a vmapped batch of them)."""
 
@@ -116,23 +157,9 @@ def entropic_gw(
         )
 
     t0 = p[:, None] * q[None, :]
-
-    def cond(carry):
-        _, err, it, _ = carry
-        return jnp.logical_and(it < max_iterations, err > threshold)
-
-    def body(carry):
-        t, _, it, _ = carry
-        res = solve_linear(t)
-        err = jnp.linalg.norm(res.coupling - t) / jnp.maximum(
-            jnp.linalg.norm(res.coupling), 1e-30
-        )
-        return res.coupling, err, it + 1, res.converged
-
-    t, err, n_iters, lin_conv = jax.lax.while_loop(
-        cond, body, (t0, jnp.float32(jnp.inf), jnp.int32(0), jnp.asarray(False))
+    t, err, n_iters, lin_conv = _gw_outer_loop(
+        solve_linear, t0, max_iterations, threshold
     )
-
     gw_cost = jnp.sum(linearized_cost(t) * t)
     return GWResult(
         coupling=t,
@@ -190,22 +217,8 @@ def entropic_gw_labels(
 
     t0 = jnp.where(plan_mask, p[:, None] * q[None, :], 0.0)
     t0 = t0 / jnp.maximum(jnp.sum(t0), 1e-30)
-
-    def cond(carry):
-        _, err, it, _ = carry
-        return jnp.logical_and(it < max_iterations, err > threshold)
-
-    def body(carry):
-        t, _, it, _ = carry
-        res = solve_linear(t)
-        err = jnp.linalg.norm(res.coupling - t) / jnp.maximum(
-            jnp.linalg.norm(res.coupling), 1e-30
-        )
-        return res.coupling, err, it + 1, res.converged
-
-    t, err, n_iters, lin_conv = jax.lax.while_loop(
-        cond, body, (t0, jnp.float32(jnp.inf), jnp.int32(0),
-                     jnp.asarray(False))
+    t, err, n_iters, lin_conv = _gw_outer_loop(
+        solve_linear, t0, max_iterations, threshold
     )
     gw_cost = jnp.sum((const_c - 2.0 * cx @ (t @ cy.T)) * t)
     return GWResult(t, n_iters, err <= threshold, lin_conv, gw_cost, err)
