@@ -104,6 +104,7 @@ def fusion_main(
         pet_pretrained=args.pet_pretrained,
         dtype=resolve_dtype(args.dtype),
         num_classes=2,
+        profile_dir=args.profile_dir,
         config_lines={
             "Dataset": args.data_dir,
             "Train/Val Split": f"{1 - args.val_fraction:.1%}/"

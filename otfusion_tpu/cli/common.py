@@ -37,6 +37,9 @@ def add_common_args(parser: argparse.ArgumentParser, *, epochs: int,
     parser.add_argument("--dtype", type=str, default="bfloat16",
                         choices=["bfloat16", "float32"],
                         help="Compute dtype (TPU-native addition)")
+    parser.add_argument("--profile-dir", type=str, default=None,
+                        help="Capture a jax.profiler trace of epoch 1 "
+                             "into this directory (TPU-native addition)")
 
 
 def add_ot_args(parser: argparse.ArgumentParser) -> None:

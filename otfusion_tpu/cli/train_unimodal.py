@@ -147,6 +147,7 @@ def main(argv=None):
         save_path=args.save_path,
         augment=args.augment,
         dtype=resolve_dtype(args.dtype),
+        profile_dir=args.profile_dir,
         config_lines={
             "Dataset": args.data_dir,
             "Train/Val Split": f"{1 - args.val_fraction:.1%}/"

@@ -70,6 +70,31 @@ class EpochResult:
     metrics: Dict[str, float]
 
 
+def _append_jsonl(path, record):
+    """Structured per-epoch metrics stream (one JSON object per line) —
+    the machine-readable complement of results.txt."""
+    with open(path, "a") as f:
+        f.write(json.dumps(record, default=float) + "\n")
+
+
+class _MaybeProfile:
+    """jax.profiler trace for one epoch when ``profile_dir`` is set."""
+
+    def __init__(self, profile_dir, epoch, profile_epoch=1):
+        self.active = profile_dir is not None and epoch == profile_epoch
+        self.profile_dir = profile_dir
+
+    def __enter__(self):
+        if self.active:
+            jax.profiler.start_trace(str(self.profile_dir))
+        return self
+
+    def __exit__(self, *exc):
+        if self.active:
+            jax.profiler.stop_trace()
+        return False
+
+
 def _run_train_epoch(train_step, state, loader, extra_args, rng_base):
     total_loss, total_correct, total_n = 0.0, 0, 0
     for i, batch in enumerate(loader):
@@ -133,6 +158,7 @@ def run_fusion_training(
     ),
     config_lines: Optional[Dict[str, object]] = None,
     progress: bool = True,
+    profile_dir: Optional[str] = None,
 ) -> Dict[str, object]:
     if not len(val_idx) or not len(train_idx):
         raise ValueError(
@@ -213,13 +239,15 @@ def run_fusion_training(
     tv = compute_tv() if needs_tv else None
 
     history = []
+    jsonl_path = os.path.join(save_path, "metrics.jsonl")
     for epoch in range(1, epochs + 1):
         t0 = time.time()
-        state, train_loss, train_acc = _run_train_epoch(
-            train_step, state, train_loader,
-            (tv if needs_tv else None,),
-            jax.random.fold_in(rng_base, epoch),
-        )
+        with _MaybeProfile(profile_dir, epoch):
+            state, train_loss, train_acc = _run_train_epoch(
+                train_step, state, train_loader,
+                (tv if needs_tv else None,),
+                jax.random.fold_in(rng_base, epoch),
+            )
         # Note: the base reference recomputes the coupling each epoch and
         # hands it to evaluate (MRI_PET_OT.py:1072-1101), but evaluation
         # never uses it (ot_loss is 0 outside training, :663-707), so the
@@ -232,6 +260,14 @@ def run_fusion_training(
                          metrics)
         history.append(EpochResult(train_loss, train_acc, val_loss, val_acc,
                                    metrics))
+        _append_jsonl(jsonl_path, {
+            "epoch": epoch, "train_loss": train_loss,
+            "train_acc": train_acc, "val_loss": val_loss,
+            "val_acc": val_acc, **metrics,
+            "epoch_seconds": time.time() - t0,
+            "coupling_log": svc.last_log if svc else None,
+            "lr": scheduler.lr,
+        })
         if progress:
             print(
                 f"Epoch {epoch:03d} | train_loss={train_loss:.4f} "
@@ -294,6 +330,7 @@ def run_unimodal_training(
     results_title: str = "3D ResNet Training Results - ADNI MRI Dataset",
     config_lines: Optional[Dict[str, object]] = None,
     progress: bool = True,
+    profile_dir: Optional[str] = None,
 ) -> Dict[str, object]:
     if not len(val_idx) or not len(train_idx):
         raise ValueError(
@@ -331,12 +368,14 @@ def run_unimodal_training(
     rng_base = jax.random.key(seed + 1)
 
     history = []
+    jsonl_path = os.path.join(save_path, "metrics.jsonl")
     for epoch in range(1, epochs + 1):
         t0 = time.time()
-        state, train_loss, train_acc = _run_train_epoch(
-            train_step, state, train_loader, (),
-            jax.random.fold_in(rng_base, epoch),
-        )
+        with _MaybeProfile(profile_dir, epoch):
+            state, train_loss, train_acc = _run_train_epoch(
+                train_step, state, train_loader, (),
+                jax.random.fold_in(rng_base, epoch),
+            )
         val_loss, val_acc, preds, targets, _ = _run_eval_epoch(
             eval_step, state, val_loader, ()
         )
@@ -345,6 +384,12 @@ def run_unimodal_training(
                          metrics)
         history.append(EpochResult(train_loss, train_acc, val_loss, val_acc,
                                    metrics))
+        _append_jsonl(jsonl_path, {
+            "epoch": epoch, "train_loss": train_loss,
+            "train_acc": train_acc, "val_loss": val_loss,
+            "val_acc": val_acc, **metrics,
+            "epoch_seconds": time.time() - t0,
+        })
         if progress:
             print(
                 f"Epoch {epoch:03d} | train_loss={train_loss:.4f} "
