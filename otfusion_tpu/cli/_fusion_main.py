@@ -102,6 +102,8 @@ def fusion_main(
         sinkhorn_max_iterations=args.sinkhorn_max_iterations,
         mri_pretrained=args.mri_pretrained,
         pet_pretrained=args.pet_pretrained,
+        mri_backbone=args.mri_backbone,
+        pet_backbone=args.pet_backbone,
         dtype=resolve_dtype(args.dtype),
         num_classes=2,
         profile_dir=args.profile_dir,

@@ -53,6 +53,12 @@ def add_ot_args(parser: argparse.ArgumentParser) -> None:
                         help="Checkpoint dir of a unimodal MRI backbone")
     parser.add_argument("--pet-pretrained", type=str, default=None,
                         help="Checkpoint dir of a unimodal PET backbone")
+    parser.add_argument("--mri-backbone", type=str, default="",
+                        help="Registry backbone for MRI (e.g. unetr_vit, "
+                             "medicalnet-10); empty = ResNet3D at "
+                             "--model-depth")
+    parser.add_argument("--pet-backbone", type=str, default="",
+                        help="Registry backbone for PET; empty = ResNet3D")
 
 
 def set_seed(seed: int) -> None:

@@ -33,27 +33,28 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from otfusion_tpu.models.attention import SelfAttentionBlock
-from otfusion_tpu.models.resnet3d import ResNet3DBackbone, feature_dim
+from otfusion_tpu.models.resnet3d import ResNet3DBackbone
 from otfusion_tpu.ops.fot import apply_feature_coupling
 
 
 class _ProjectionMLP(nn.Module):
-    """d -> 2d -> d with ReLU+dropout (reference attn:671-681)."""
+    """d_in -> 2*d_out -> d_out with ReLU+dropout (reference attn:671-681;
+    the reference's equal-width case is hidden = 2*d = 2*d_out)."""
 
-    dim: int
+    out_dim: int
     dropout: float
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = nn.Dense(self.dim * 2, dtype=self.dtype)(x)
+        x = nn.Dense(self.out_dim * 2, dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        return nn.Dense(self.dim, dtype=self.dtype)(x)
+        return nn.Dense(self.out_dim, dtype=self.dtype)(x)
 
 
 class _FusionMLP(nn.Module):
-    """2d -> d -> d with ReLU+dropout (reference attn:684-693)."""
+    """concat -> d -> d with ReLU+dropout (reference attn:684-693)."""
 
     dim: int
     dropout: float
@@ -67,6 +68,18 @@ class _FusionMLP(nn.Module):
         return nn.Dense(self.dim, dtype=self.dtype)(x)
 
 
+def build_fusion_backbone(spec: str, depth: int, dtype, name=None):
+    """Construct a fusion-side backbone from its registry spec (empty =
+    the reference's ResNet3D at ``depth``). Free function so callers
+    outside a module scope (feature extraction, shape probing) can build
+    unparented instances."""
+    from otfusion_tpu.models.registry import build_backbone
+
+    if not spec:
+        return ResNet3DBackbone(depth, dtype=dtype, name=name)
+    return build_backbone(spec, dtype=dtype, name=name)
+
+
 class MultimodalOTFusion(nn.Module):
     """Dual-backbone OT fusion classifier. See module docstring."""
 
@@ -74,36 +87,57 @@ class MultimodalOTFusion(nn.Module):
     depth: int = 50
     projection_dropout: float = 0.3
     variant: str = "per_epoch_attn"  # "per_epoch_attn" | "base" | "mmfusion"
+    # Heterogeneous backbones (BASELINE.json config 5): any registry name
+    # ("swin_base_384", "unetr_vit", "medicalnet-10", ...). Empty = the
+    # reference's dual ResNet3D(depth). Feature dims may differ between
+    # modalities — the OT feature plan Tv is (d_pet, d_mri) and every
+    # attention token lives in MRI space, so nothing requires equal dims.
+    mri_backbone: str = ""
+    pet_backbone: str = ""
     dtype: Any = jnp.float32
+
+    def _make_backbone(self, name_attr: str, module_name: str):
+        return build_fusion_backbone(
+            getattr(self, name_attr), self.depth, self.dtype,
+            name=module_name,
+        )
 
     @nn.compact
     def __call__(self, mri, pet, t_feature=None, train: bool = False):
         """Args:
-          mri, pet: (B, D, H, W, 1) volumes.
+          mri, pet: (B, D, H, W, 1) volumes (or (B, H, W, C) images for 2D
+            backbones such as Swin).
           t_feature: (d_pet, d_mri) feature coupling Tv (required for
             "per_epoch_attn", optional for "base", unused for "mmfusion").
         Returns a dict of logits and intermediate features.
         """
-        d = feature_dim(self.depth)
+        mri_feat = self._make_backbone("mri_backbone", "mri_backbone")(
+            mri, train)
+        pet_feat = self._make_backbone("pet_backbone", "pet_backbone")(
+            pet, train)
+        if isinstance(mri_feat, tuple):  # Swin returns (tokens, pooled)
+            mri_feat = mri_feat[1]
+        if isinstance(pet_feat, tuple):
+            pet_feat = pet_feat[1]
+        d_mri = mri_feat.shape[-1]
+        d_pet = pet_feat.shape[-1]
 
-        mri_feat = ResNet3DBackbone(self.depth, dtype=self.dtype,
-                                    name="mri_backbone")(mri, train)
-        pet_feat = ResNet3DBackbone(self.depth, dtype=self.dtype,
-                                    name="pet_backbone")(pet, train)
+        mri_to_pet = _ProjectionMLP(d_pet, self.projection_dropout,
+                                    self.dtype, name="mri2pet")(mri_feat,
+                                                                train)
+        pet_to_mri = _ProjectionMLP(d_mri, self.projection_dropout,
+                                    self.dtype, name="pet2mri")(pet_feat,
+                                                                train)
 
-        mri_to_pet = _ProjectionMLP(d, self.projection_dropout, self.dtype,
-                                    name="mri2pet")(mri_feat, train)
-        pet_to_mri = _ProjectionMLP(d, self.projection_dropout, self.dtype,
-                                    name="pet2mri")(pet_feat, train)
-
-        mri_fused = _FusionMLP(d, self.projection_dropout, self.dtype,
+        mri_fused = _FusionMLP(d_mri, self.projection_dropout, self.dtype,
                                name="mri_fusion")(
             jnp.concatenate([mri_feat, mri_to_pet], axis=1), train)
-        pet_fused = _FusionMLP(d, self.projection_dropout, self.dtype,
+        pet_fused = _FusionMLP(d_pet, self.projection_dropout, self.dtype,
                                name="pet_fusion")(
             jnp.concatenate([pet_feat, pet_to_mri], axis=1), train)
 
-        attention = SelfAttentionBlock(embed_dim=d, num_heads=8, ff_dim=d,
+        attention = SelfAttentionBlock(embed_dim=d_mri, num_heads=8,
+                                       ff_dim=d_mri,
                                        dropout=0.1, dtype=self.dtype,
                                        name="attention_mri")
 

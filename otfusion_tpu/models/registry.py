@@ -23,22 +23,22 @@ from otfusion_tpu.models.swin import swin_base_384
 from otfusion_tpu.models.unetr import UNETRViTEncoder
 
 
-def build_backbone(name: str, dtype: Any = jnp.float32, **kwargs):
-    name = name.lower()
-    if name.startswith("resnet3d-"):
-        depth = int(name.split("-")[1])
+def build_backbone(backbone: str, dtype: Any = jnp.float32, **kwargs):
+    spec = backbone.lower()
+    if spec.startswith("resnet3d-"):
+        depth = int(spec.split("-")[1])
         if depth not in DEPTH_CONFIGS:
             raise ValueError(f"unsupported depth {depth}")
         return ResNet3DBackbone(depth=depth, dtype=dtype, **kwargs)
-    if name.startswith("medicalnet-"):
-        depth = int(name.split("-")[1])
+    if spec.startswith("medicalnet-"):
+        depth = int(spec.split("-")[1])
         if depth not in DEPTH_CONFIGS:
             raise ValueError(f"unsupported depth {depth}")
         return MedicalNetResNet(depth=depth, dtype=dtype, **kwargs)
-    if name == "res2net50_v1b_26w_4s":
-        return res2net50_v1b_26w_4s(dtype=dtype)
-    if name == "swin_base_384":
-        return swin_base_384(dtype=dtype)
-    if name == "unetr_vit":
+    if spec == "res2net50_v1b_26w_4s":
+        return res2net50_v1b_26w_4s(dtype=dtype, **kwargs)
+    if spec == "swin_base_384":
+        return swin_base_384(dtype=dtype, **kwargs)
+    if spec == "unetr_vit":
         return UNETRViTEncoder(dtype=dtype, **kwargs)
-    raise ValueError(f"unknown backbone: {name}")
+    raise ValueError(f"unknown backbone: {backbone}")

@@ -119,6 +119,7 @@ class Res2Net(nn.Module):
         return x.astype(jnp.float32)
 
 
-def res2net50_v1b_26w_4s(dtype=jnp.float32) -> Res2Net:
+def res2net50_v1b_26w_4s(dtype=jnp.float32, **kwargs) -> Res2Net:
     """Factory parity with Models/res2net.py:249-262 (2048-dim feature)."""
-    return Res2Net(layers=(3, 4, 6, 3), base_width=26, scale=4, dtype=dtype)
+    return Res2Net(layers=(3, 4, 6, 3), base_width=26, scale=4, dtype=dtype,
+                   **kwargs)

@@ -202,8 +202,8 @@ class SwinTransformer2D(nn.Module):
         return tokens, pooled
 
 
-def swin_base_384(dtype=jnp.float32) -> SwinTransformer2D:
+def swin_base_384(dtype=jnp.float32, **kwargs) -> SwinTransformer2D:
     """Fundus config (fundus_swin_network.build_model:13-77)."""
     return SwinTransformer2D(embed_dim=128, depths=(2, 2, 18, 2),
                              heads=(4, 8, 16, 32), window=12,
-                             drop_path_rate=0.5, dtype=dtype)
+                             drop_path_rate=0.5, dtype=dtype, **kwargs)

@@ -35,7 +35,6 @@ import numpy as np
 from otfusion_tpu.data.loader import Loader, MultimodalLoader, _VolumeCache
 from otfusion_tpu.metrics.classification import classification_metrics
 from otfusion_tpu.models import MultimodalOTFusion, ResNet3DClassifier
-from otfusion_tpu.models.resnet3d import feature_dim
 from otfusion_tpu.train.coupling import CouplingService
 from otfusion_tpu.train.steps import (
     make_feature_extract_step,
@@ -151,6 +150,8 @@ def run_fusion_training(
     sinkhorn_max_iterations: int = 2000,
     mri_pretrained: Optional[str] = None,
     pet_pretrained: Optional[str] = None,
+    mri_backbone: str = "",
+    pet_backbone: str = "",
     dtype=jnp.float32,
     num_classes: int = 2,
     results_title: str = (
@@ -188,14 +189,32 @@ def run_fusion_training(
         depth=model_depth,
         projection_dropout=projection_dropout,
         variant=variant,
+        mri_backbone=mri_backbone,
+        pet_backbone=pet_backbone,
         dtype=dtype,
     )
-    d = feature_dim(model_depth)
-    uniform_tv = jnp.full((d, d), 1.0 / (d * d), jnp.float32)
+    mri0, pet0, _ = next(iter(feat_loader))
+
+    from otfusion_tpu.models.fusion import build_fusion_backbone
+
+    def _backbone_dim(name_attr, sample):
+        backbone = build_fusion_backbone(
+            getattr(model, name_attr), model.depth, model.dtype)
+        out = jax.eval_shape(
+            lambda x: backbone.init_with_output(
+                {"params": jax.random.key(0),
+                 "dropout": jax.random.key(1)}, x, train=False)[0],
+            jnp.asarray(sample),
+        )
+        out = out[1] if isinstance(out, tuple) else out
+        return out.shape[-1]
+
+    d_mri = _backbone_dim("mri_backbone", mri0)
+    d_pet = _backbone_dim("pet_backbone", pet0)
+    uniform_tv = jnp.full((d_pet, d_mri), 1.0 / (d_pet * d_mri),
+                          jnp.float32)
     needs_tv = variant == "per_epoch_attn"
     init_tv = uniform_tv if needs_tv else None
-
-    mri0, pet0, _ = next(iter(feat_loader))
     state = create_train_state(
         model, jax.random.key(seed),
         (jnp.asarray(mri0), jnp.asarray(pet0)),

@@ -128,21 +128,26 @@ def make_feature_extract_step(model) -> Callable:
     """Backbone-only forward for the per-epoch coupling service
     (reference feature_extract, attn:889-914)."""
 
-    def step(state: FusionTrainState, mri, pet):
-        variables_mri = {
-            "params": state.params["mri_backbone"],
-            "batch_stats": state.batch_stats["mri_backbone"],
-        }
-        variables_pet = {
-            "params": state.params["pet_backbone"],
-            "batch_stats": state.batch_stats["pet_backbone"],
-        }
-        from otfusion_tpu.models.resnet3d import ResNet3DBackbone
+    from otfusion_tpu.models.fusion import build_fusion_backbone
 
-        backbone = ResNet3DBackbone(model.depth, dtype=model.dtype)
-        mri_feat = backbone.apply(variables_mri, mri, train=False)
-        pet_feat = backbone.apply(variables_pet, pet, train=False)
-        return mri_feat, pet_feat
+    mri_backbone = build_fusion_backbone(
+        model.mri_backbone, model.depth, model.dtype)
+    pet_backbone = build_fusion_backbone(
+        model.pet_backbone, model.depth, model.dtype)
+
+    def step(state: FusionTrainState, mri, pet):
+        def run(backbone, params_key, x):
+            variables = {
+                "params": state.params[params_key],
+                "batch_stats": state.batch_stats.get(params_key, {}),
+            }
+            out = backbone.apply(variables, x, train=False)
+            return out[1] if isinstance(out, tuple) else out
+
+        return (
+            run(mri_backbone, "mri_backbone", mri),
+            run(pet_backbone, "pet_backbone", pet),
+        )
 
     return jax.jit(step)
 
