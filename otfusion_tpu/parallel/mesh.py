@@ -24,11 +24,27 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+MODEL_AXIS = "model"
 
 
 def make_mesh(devices: Sequence | None = None, axis: str = DATA_AXIS) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     return Mesh(np.asarray(devices), (axis,))
+
+
+def make_2d_mesh(
+    data: int,
+    model: int,
+    devices: Sequence | None = None,
+) -> Mesh:
+    """(data, model) mesh for combined DP + tensor parallelism."""
+    devices = list(devices if devices is not None else jax.devices())
+    if len(devices) < data * model:
+        raise ValueError(
+            f"need {data * model} devices for a {data}x{model} mesh, "
+            f"have {len(devices)}")
+    grid = np.asarray(devices[: data * model]).reshape(data, model)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -42,6 +58,19 @@ def batch_sharded(mesh: Mesh, ndim: int, axis: str = DATA_AXIS) -> NamedSharding
 
 def shard_batch(mesh: Mesh, array, axis: str = DATA_AXIS):
     return jax.device_put(array, batch_sharded(mesh, np.ndim(array), axis))
+
+
+def fusion_param_sharding(params, mesh: Mesh):
+    """Tensor-parallel sharding rules for the fusion trunk.
+
+    The OT-fusion head is dominated by wide Dense layers (2048-dim
+    projections/fusions/attention/ffn at depth>=50). Shard every Dense
+    kernel's OUTPUT dimension over the ``model`` axis (column parallelism
+    — XLA inserts the all-gather/reduce-scatter pair); biases and conv/BN
+    parameters replicate. Megatron-style split specialised to the fusion
+    trunk; backbone convs stay replicated (MXU-bound, not memory-bound).
+    """
+    return jax.tree_util.tree_map_with_path(_tp_rule_factory(mesh), params)
 
 
 def make_sharded_fusion_train_step(model, mesh: Mesh, **step_kwargs):
@@ -72,3 +101,54 @@ def make_sharded_fusion_train_step(model, mesh: Mesh, **step_kwargs):
         )
 
     return step, place_batch
+
+
+def make_dp_tp_fusion_train_step(model, mesh: Mesh, **step_kwargs):
+    """Combined data + tensor parallel train step over a 2-D
+    (data, model) mesh: batches shard over ``data``, fusion-trunk Dense
+    kernels shard over ``model`` (see fusion_param_sharding), everything
+    else replicates. Sharding propagates from the placed inputs — XLA's
+    SPMD partitioner inserts all collectives.
+
+    Returns (step_fn, place_state, place_batch)."""
+    from otfusion_tpu.train.steps import make_fusion_train_step
+
+    raw = make_fusion_train_step(model, donate=False, jit=False,
+                                 **step_kwargs)
+    step = jax.jit(raw)
+
+    def place_state(state):
+        sharding_tree = jax.tree_util.tree_map_with_path(
+            _tp_rule_factory(mesh), state
+        )
+        return jax.device_put(state, sharding_tree)
+
+    def place_batch(mri, pet, labels):
+        return (
+            shard_batch(mesh, mri),
+            shard_batch(mesh, pet),
+            shard_batch(mesh, labels),
+        )
+
+    return step, place_state, place_batch
+
+
+def _tp_rule_factory(mesh: Mesh):
+    model_size = mesh.shape.get(MODEL_AXIS, 1)
+
+    def rule(path, leaf):
+        names = [str(getattr(p, "key", getattr(p, "name", ""))) for p in path]
+        in_dense = any(n.startswith("Dense") or n in ("qkv", "proj", "fc")
+                       for n in names)
+        if (
+            in_dense
+            and names
+            and names[-1] == "kernel"
+            and getattr(leaf, "ndim", 0) == 2
+            and leaf.shape[-1] % model_size == 0  # e.g. not the tiny
+            # num_classes classifier head
+        ):
+            return NamedSharding(mesh, P(None, MODEL_AXIS))
+        return NamedSharding(mesh, P())
+
+    return rule
