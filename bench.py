@@ -74,26 +74,33 @@ def main():
                   sinkhorn_max_iterations=2000, fot_epsilon=5e-3,
                   fot_max_iterations=2000)
 
-    # Compile + warm up.
-    tv, gw, fot_res = jax.block_until_ready(
-        coupling_pipeline(*args, **kwargs)
-    )
-    # Chained timing: each call's input depends on the previous output so
-    # async dispatch / remote-execution pipelining can't overlap runs.
+    # Timing methodology (tunneled-TPU-safe, conservative): on this
+    # backend block_until_ready is effectively a no-op and identical
+    # inputs can be served from a cache, so each timed call (a) perturbs
+    # the input with the previous output (no caching/pipelining) and
+    # (b) synchronises by FETCHING a scalar to the host — the measured
+    # time therefore INCLUDES a full host round-trip (~tens of ms through
+    # the tunnel), an upper bound on the coupling's device time.
+    def run_once(scale):
+        out = coupling_pipeline(args[0] * scale, *args[1:], **kwargs)
+        return out, float(jnp.sum(out[0]))
+
+    (tv, gw, fot_res), acc = run_once(1.0)
+    for i in range(4):  # first post-compile calls carry server warm-up
+        (tv, gw, fot_res), acc = run_once(1.0 + (acc + i) * 1e-7)
+
     n_runs = 10
-    acc = jnp.float32(0.0)
     t0 = time.time()
-    for _ in range(n_runs):
-        tv, gw, fot_res = coupling_pipeline(
-            args[0] + acc * 0.0, *args[1:], **kwargs
-        )
-        acc = jnp.sum(tv)
-    acc.block_until_ready()
+    for i in range(n_runs):
+        (tv, gw, fot_res), acc = run_once(1.0 + (acc + i) * 1e-7)
     tpu_time = (time.time() - t0) / n_runs
 
-    t0 = time.time()
-    tv_np = _numpy_reference_epoch(pet_g, mri_g)
-    cpu_time = time.time() - t0
+    cpu_times = []
+    for _ in range(2):  # min of 2: robust to ambient host load
+        t0 = time.time()
+        tv_np = _numpy_reference_epoch(pet_g, mri_g)
+        cpu_times.append(time.time() - t0)
+    cpu_time = min(cpu_times)
 
     # Same problem, comparable answers (both satisfy the same marginals).
     agree = float(np.abs(np.asarray(tv).sum(1) - 1.0 / d).max())

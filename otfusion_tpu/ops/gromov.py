@@ -33,48 +33,95 @@ import jax
 import jax.numpy as jnp
 
 from otfusion_tpu.ops.costs import pairwise_sq_euclidean, scale_by_max
-from otfusion_tpu.ops.sinkhorn import sinkhorn
+from otfusion_tpu.ops.sinkhorn import _masked_log_weights, sinkhorn
 
 
 _STALL_PATIENCE = 25
+_NEG_INF = -1e30
 
 
-def _gw_outer_loop(solve_linear, t0, max_iterations, threshold):
-    """Shared GW linearisation loop with convergence + stall detection.
+def _egw_warm_loop(
+    linearized_cost,
+    pair_mask,
+    p_w,
+    q_w,
+    log_p,
+    log_q,
+    epsilon,
+    max_iterations,
+    threshold,
+    inner_sweeps,
+    t0,
+):
+    """Warm-started entropic-GW linearisation loop.
 
-    Stops when the relative plan change drops below ``threshold`` OR when
-    it has not improved its best value for _STALL_PATIENCE consecutive
-    iterations — the fp32 error floor otherwise burns the full 2000-
-    iteration reference budget doing nothing (observed on real cohorts:
-    one label converges in ~60 iterations, the other plateaus ~2e-3 and
-    spins to the cap)."""
-    import jax as _jax
-    import jax.numpy as _jnp
+    Classical one-loop entropic GW: each outer iteration re-linearises the
+    quadratic cost and runs a FIXED number of log-domain Sinkhorn sweeps
+    from the previous iteration's dual potentials (warm start) instead of
+    a cold full inner solve. Convergence is controlled at this level — the
+    relative plan change with stall detection (the fp32 error floor
+    otherwise burns the full 2000-iteration reference budget; observed on
+    real cohorts: one label converges in ~60 iterations, the other
+    plateaus and spins to the cap). The warm start removes the nested
+    while_loop whose per-iteration machinery dominated the original
+    formulation (measured 0.75 ms/outer-iteration vs 0.11 ms for the
+    arithmetic itself on a 64x64 problem).
+    """
+    from otfusion_tpu.ops.sinkhorn import log_sinkhorn_sweeps
+
+    eps = jnp.float32(epsilon)
+
+    def masked(mat):
+        return jnp.where(pair_mask, mat, -_NEG_INF) if pair_mask is not None else mat
+
+    def plan(f, g, m_cost):
+        t = jnp.exp((f[:, None] + g[None, :] - m_cost) / eps)
+        if pair_mask is not None:
+            t = jnp.where(pair_mask, t, 0.0)
+        return t
+
+    # Data-dependent while_loop iterations cost ~1 ms of unfused dispatch
+    # each on the tunneled backend (fori_loop bodies fuse to ~20 us), so
+    # each while iteration runs OUTER_UNROLL linearisations in a fori_loop
+    # and checks convergence once.
+    OUTER_UNROLL = 8
 
     def cond(carry):
-        _, err, it, _, _, stall = carry
-        return _jnp.logical_and(
-            _jnp.logical_and(it < max_iterations, err > threshold),
+        _, _, _, err, it, _, stall = carry
+        return jnp.logical_and(
+            jnp.logical_and(it < max_iterations, err > threshold),
             stall < _STALL_PATIENCE,
         )
 
+    def micro(_, tfg):
+        t, f, g = tfg
+        m_cost = masked(linearized_cost(t))
+        f, g = log_sinkhorn_sweeps(m_cost, log_p, log_q, eps, f, g,
+                                   inner_sweeps)
+        return plan(f, g, m_cost), f, g
+
     def body(carry):
-        t, _, it, _, best_err, stall = carry
-        res = solve_linear(t)
-        err = _jnp.linalg.norm(res.coupling - t) / _jnp.maximum(
-            _jnp.linalg.norm(res.coupling), 1e-30
+        t, f, g, _, it, best_err, stall = carry
+        t_new, f, g = jax.lax.fori_loop(0, OUTER_UNROLL, micro, (t, f, g))
+        err = jnp.linalg.norm(t_new - t) / jnp.maximum(
+            jnp.linalg.norm(t_new), 1e-30
         )
         improved = err < 0.999 * best_err
-        best_err = _jnp.minimum(best_err, err)
-        stall = _jnp.where(improved, 0, stall + 1)
-        return res.coupling, err, it + 1, res.converged, best_err, stall
+        best_err = jnp.minimum(best_err, err)
+        stall = jnp.where(improved, 0, stall + 1)
+        return t_new, f, g, err, it + OUTER_UNROLL, best_err, stall
 
-    t, err, n_iters, lin_conv, _, _ = _jax.lax.while_loop(
+    n, m = t0.shape
+    f0 = jnp.zeros((n,), jnp.float32)
+    g0 = jnp.zeros((m,), jnp.float32)
+    t, f, g, err, n_iters, _, _ = jax.lax.while_loop(
         cond, body,
-        (t0, _jnp.float32(_jnp.inf), _jnp.int32(0), _jnp.asarray(False),
-         _jnp.float32(_jnp.inf), _jnp.int32(0)),
+        (t0, f0, g0, jnp.float32(jnp.inf), jnp.int32(0),
+         jnp.float32(jnp.inf), jnp.int32(0)),
     )
-    return t, err, n_iters, lin_conv
+    # final-marginal check stands in for the inner-solver convergence flag
+    row_err = jnp.sum(jnp.abs(jnp.sum(t, axis=1) - p_w))
+    return t, err, n_iters, row_err
 
 
 class GWResult(NamedTuple):
@@ -97,6 +144,7 @@ def entropic_gw(
     sinkhorn_max_iterations: int = 2000,
     threshold: float = 1e-3,
     sinkhorn_threshold: float = 1e-3,
+    inner_sweeps: int = 10,
     x_mask: jnp.ndarray | None = None,
     y_mask: jnp.ndarray | None = None,
 ) -> GWResult:
@@ -144,28 +192,21 @@ def entropic_gw(
     def linearized_cost(t):
         return const_c - 2.0 * cx @ (t @ cy.T)
 
-    def solve_linear(t):
-        return sinkhorn(
-            linearized_cost(t),
-            p,
-            q,
-            epsilon=epsilon,
-            max_iterations=sinkhorn_max_iterations,
-            threshold=sinkhorn_threshold,
-            row_mask=xm,
-            col_mask=ym,
-        )
+    pair_mask = xm[:, None] & ym[None, :]
+    _, log_p = _masked_log_weights(None, xm, n)
+    _, log_q = _masked_log_weights(None, ym, m)
 
     t0 = p[:, None] * q[None, :]
-    t, err, n_iters, lin_conv = _gw_outer_loop(
-        solve_linear, t0, max_iterations, threshold
+    t, err, n_iters, row_err = _egw_warm_loop(
+        linearized_cost, pair_mask, p, q, log_p, log_q,
+        epsilon, max_iterations, threshold, inner_sweeps, t0,
     )
     gw_cost = jnp.sum(linearized_cost(t) * t)
     return GWResult(
         coupling=t,
         n_iters=n_iters,
         converged=err <= threshold,
-        linear_converged=lin_conv,
+        linear_converged=row_err <= sinkhorn_threshold,
         cost=gw_cost,
         err=err,
     )
@@ -182,6 +223,7 @@ def entropic_gw_labels(
     sinkhorn_max_iterations: int = 2000,
     threshold: float = 1e-3,
     sinkhorn_threshold: float = 1e-3,
+    inner_sweeps: int = 10,
 ) -> GWResult:
     """Label-constrained global entropic GW (EGWL).
 
@@ -205,23 +247,19 @@ def entropic_gw_labels(
     q = jnp.full((m,), 1.0 / m)
     const_c = ((cx * cx) @ p)[:, None] + ((cy * cy) @ q)[None, :]
 
-    def solve_linear(t):
-        return sinkhorn(
-            const_c - 2.0 * cx @ (t @ cy.T),
-            p, q,
-            epsilon=epsilon,
-            max_iterations=sinkhorn_max_iterations,
-            threshold=sinkhorn_threshold,
-            plan_mask=plan_mask,
-        )
+    _, log_p = _masked_log_weights(None, None, n)
+    _, log_q = _masked_log_weights(None, None, m)
 
     t0 = jnp.where(plan_mask, p[:, None] * q[None, :], 0.0)
     t0 = t0 / jnp.maximum(jnp.sum(t0), 1e-30)
-    t, err, n_iters, lin_conv = _gw_outer_loop(
-        solve_linear, t0, max_iterations, threshold
+    t, err, n_iters, row_err = _egw_warm_loop(
+        lambda tt: const_c - 2.0 * cx @ (tt @ cy.T),
+        plan_mask, p, q, log_p, log_q,
+        epsilon, max_iterations, threshold, inner_sweeps, t0,
     )
     gw_cost = jnp.sum((const_c - 2.0 * cx @ (t @ cy.T)) * t)
-    return GWResult(t, n_iters, err <= threshold, lin_conv, gw_cost, err)
+    return GWResult(t, n_iters, err <= threshold,
+                    row_err <= sinkhorn_threshold, gw_cost, err)
 
 
 def egw_per_label(
