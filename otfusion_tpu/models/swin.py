@@ -114,17 +114,27 @@ class SwinBlock(nn.Module):
 
         shortcut = x
         y = nn.LayerNorm(dtype=jnp.float32)(x)
+        # Pad to window multiples (official Swin pads in forward; the
+        # reference's 384/4/12 geometry always divides so it never hits
+        # this, but other input sizes do).
+        pad_h = (-h) % ws
+        pad_w = (-w) % ws
+        if pad_h or pad_w:
+            y = jnp.pad(y, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+        hp, wp = h + pad_h, w + pad_w
         if shift:
             y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
-            mask = jnp.asarray(_shift_attn_mask(h, w, ws, shift))
+            mask = jnp.asarray(_shift_attn_mask(hp, wp, ws, shift))
         else:
             mask = None
         windows = _window_partition(y, ws)
         attn = WindowAttention(self.dim, self.heads, ws,
                                dtype=self.dtype)(windows, mask, train)
-        y = _window_reverse(attn, ws, h, w)
+        y = _window_reverse(attn, ws, hp, wp)
         if shift:
             y = jnp.roll(y, (shift, shift), axis=(1, 2))
+        if pad_h or pad_w:
+            y = y[:, :h, :w, :]
         x = shortcut + self._drop_path(y, train)
 
         y = nn.LayerNorm(dtype=jnp.float32)(x)
@@ -149,6 +159,9 @@ class PatchMerging(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
+        if h % 2 or w % 2:  # official Swin pads odd feature maps
+            x = jnp.pad(x, ((0, 0), (0, h % 2), (0, w % 2), (0, 0)))
+            h, w = h + h % 2, w + w % 2
         x = x.reshape(b, h // 2, 2, w // 2, 2, c)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
         x = nn.LayerNorm(dtype=jnp.float32)(x)
@@ -166,6 +179,9 @@ class SwinTransformer2D(nn.Module):
     patch_size: int = 4
     drop_path_rate: float = 0.5
     remat: bool = True
+    # parity with the swin_transformer_vis.py variant, which additionally
+    # returns the feature map after the third-from-last stage (:752-756)
+    return_hidden: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -182,6 +198,7 @@ class SwinTransformer2D(nn.Module):
             else SwinBlock
 
         bi = 0
+        vis_feat = None
         for stage, depth in enumerate(self.depths):
             dim = self.embed_dim * (2 ** stage)
             for i in range(depth):
@@ -192,6 +209,8 @@ class SwinTransformer2D(nn.Module):
                     name=f"stage{stage}_block{i}",
                 )(x, train)
                 bi += 1
+            if stage == len(self.depths) - 3:
+                vis_feat = x
             if stage < len(self.depths) - 1:
                 x = PatchMerging(dim, dtype=self.dtype,
                                  name=f"merge{stage}")(x)
@@ -199,6 +218,8 @@ class SwinTransformer2D(nn.Module):
         tokens = nn.LayerNorm(dtype=jnp.float32, name="norm")(
             x.reshape(b, -1, x.shape[-1]).astype(jnp.float32))
         pooled = tokens.mean(axis=1)
+        if self.return_hidden:
+            return tokens, pooled, vis_feat
         return tokens, pooled
 
 

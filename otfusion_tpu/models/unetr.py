@@ -49,6 +49,9 @@ class UNETRViTEncoder(nn.Module):
     patch_size: int = 16
     dropout: float = 0.0
     remat: bool = False
+    # parity with UNETR_base_3DNet's (tokens, pooled) return
+    # (Models/unetr.py:36-45)
+    return_tokens: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -80,4 +83,7 @@ class UNETRViTEncoder(nn.Module):
                       dtype=self.dtype, name=f"block_{i}")(x, train)
 
         x = nn.LayerNorm(dtype=jnp.float32)(x)
-        return jnp.mean(x, axis=1).astype(jnp.float32)
+        pooled = jnp.mean(x, axis=1).astype(jnp.float32)
+        if self.return_tokens:
+            return x.astype(jnp.float32), pooled
+        return pooled

@@ -93,3 +93,21 @@ def test_registry():
         build_backbone("alexnet")
     with pytest.raises(ValueError, match="unsupported depth"):
         build_backbone("resnet3d-77")
+
+
+def test_swin_vis_variant():
+    model = SwinTransformer2D(embed_dim=16, depths=(2, 2, 2), heads=(2, 2, 2),
+                              window=4, drop_path_rate=0.0, remat=False,
+                              return_hidden=True)
+    tokens, pooled, vis = _init_apply(model, jnp.zeros((1, 32, 32, 3)))
+    # vis = after stage len-3 = stage 0, before its merge: 8x8x16
+    assert vis.shape == (1, 8, 8, 16)
+    assert pooled.shape[-1] == 64
+
+
+def test_unetr_tokens_variant():
+    model = UNETRViTEncoder(hidden=32, layers=1, heads=4, patch_size=8,
+                            remat=False, return_tokens=True)
+    tokens, pooled = _init_apply(model, jnp.zeros((1, 16, 16, 16, 1)))
+    assert tokens.shape == (1, 8, 32)
+    assert pooled.shape == (1, 32)
