@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from otfusion_tpu.ops.cot import cotl
-from otfusion_tpu.ops.costs import pairwise_sq_euclidean, scale_by_max
+from otfusion_tpu.ops.costs import pairwise_sq_euclidean
 from otfusion_tpu.ops.fot import get_coupling_fot  # re-export for parity
 from otfusion_tpu.ops.gromov import (
     egw_per_label,

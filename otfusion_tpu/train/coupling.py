@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from otfusion_tpu.ops.fot import feature_cost
+
 from otfusion_tpu.ops.gromov import egw_per_label
 from otfusion_tpu.ops.sinkhorn import sinkhorn
 

@@ -24,8 +24,8 @@ from __future__ import annotations
 import json
 import os
 import time
-from dataclasses import dataclass, field
-from pathlib import Path
+from dataclasses import dataclass
+
 from typing import Dict, List, Optional, Sequence
 
 import jax

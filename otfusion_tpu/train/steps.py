@@ -12,8 +12,8 @@ signature only carries arrays (state, batch, coupling, rng).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable
+
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
