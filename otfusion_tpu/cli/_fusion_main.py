@@ -52,33 +52,67 @@ def fusion_main(
 
     patient_filter = None
     args._fixed_split = None
+    id_split = None
     if args.load_patient_ids:
         spec = load_fixed_split(args.load_patient_ids, table_a)
         if spec["mode"] == "paths":
             args._fixed_split = spec
         elif spec["mode"] == "ids":
-            # train/val patient-ID split: merge into one filter; the split
-            # itself re-applies per subset below.
-            args._fixed_split = None
-            patient_filter = {
-                k: spec["train"].get(k, []) + spec["val"].get(k, [])
-                for k in table_a
-            }
+            id_split = spec  # honoured below: the file's train/val
+            # assignment is kept, never re-randomised
         else:
             patient_filter = spec["filter"]
 
-    dataset = MultimodalNiftiDataset(
-        root_dir=args.data_dir,
-        class_names_a=table_a,
-        class_names_b=table_b,
-        max_samples_per_class=args.max_samples_per_class,
-        patient_ids_filter=patient_filter,
-        seed=args.seed,
-    )
-    print(f"Found {len(dataset)} paired samples")
+    def build_dataset(filter_):
+        return MultimodalNiftiDataset(
+            root_dir=args.data_dir,
+            class_names_a=table_a,
+            class_names_b=table_b,
+            max_samples_per_class=args.max_samples_per_class,
+            patient_ids_filter=filter_,
+            seed=args.seed,
+        )
 
     repo_root = Path(args.data_dir).resolve().parent
-    train_idx, val_idx = resolve_multimodal_split(args, dataset, repo_root)
+    if id_split is not None:
+        # Fixed patient-ID split: two disjoint cohorts, exactly as the
+        # unimodal reference does (3D_resnet.py:818-843).
+        train_ds = build_dataset(id_split["train"])
+        val_ds = build_dataset(id_split["val"])
+
+        class _Combined:
+            samples = train_ds.samples + val_ds.samples
+            patient_ids_used = {
+                k: train_ds.patient_ids_used.get(k, [])
+                + val_ds.patient_ids_used.get(k, [])
+                for k in table_a
+            }
+
+            def __len__(self):
+                return len(self.samples)
+
+        dataset = _Combined()
+        print(f"Found {len(dataset.samples)} paired samples (fixed ID split)")
+        args._fixed_split = None
+        train_idx = list(range(len(train_ds.samples)))
+        val_idx = list(range(len(train_ds.samples), len(dataset.samples)))
+        # still emit the artifacts resolve_multimodal_split would
+        from otfusion_tpu.data.splits import save_path_split
+        import json as _json
+
+        save_dir = Path(args.save_path)
+        save_dir.mkdir(parents=True, exist_ok=True)
+        with open(save_dir / "patient_ids_all.json", "w") as f:
+            _json.dump(dataset.patient_ids_used, f, indent=2)
+        save_path_split(save_dir / "train_split.json", dataset.samples,
+                        train_idx, repo_root)
+        save_path_split(save_dir / "val_split.json", dataset.samples,
+                        val_idx, repo_root)
+    else:
+        dataset = build_dataset(patient_filter)
+        print(f"Found {len(dataset)} paired samples")
+        train_idx, val_idx = resolve_multimodal_split(args, dataset,
+                                                      repo_root)
     print(f"Split: {len(train_idx)} train / {len(val_idx)} val")
 
     result = run_fusion_training(

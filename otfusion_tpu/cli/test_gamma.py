@@ -57,7 +57,14 @@ def main(argv=None):
                            oct_shape=args.oct_shape,
                            fundus_size=args.fundus_size)
     loader = GammaLoader(dataset, range(len(dataset)), args.batch_size)
-    oct_dim = 512 * (args.oct_shape[0] // 8)
+    from otfusion_tpu.models.medicalnet import MedicalNetResNet
+
+    probe = MedicalNetResNet(depth=10, shortcut_type="B", pool="hw")
+    oct_dim = jax.eval_shape(
+        lambda x: probe.init_with_output(jax.random.key(0), x,
+                                         train=False)[0],
+        jnp.zeros((1, *args.oct_shape, 1), jnp.float32),
+    ).shape[-1]
     model = LegacyMultiModalFusion(
         num_classes=args.num_classes, oct_feature_dim=oct_dim,
         dtype=resolve_dtype(args.dtype),

@@ -87,9 +87,15 @@ def main(argv=None):
                            fundus_size=args.fundus_size)
     print(f"GAMMA cohort: {len(dataset)} cases")
 
-    # OCT feature width follows the input depth (512 * D').
-    d_probe = args.oct_shape[0] // 8  # stem /2, maxpool /2, layer2 /2
-    oct_dim = 512 * d_probe
+    # OCT feature width follows the input depth (512 * D'); the trunk's
+    # ceil-mode strides make floor division wrong off multiples of 8, so
+    # probe the encoder shape abstractly.
+    probe = MedicalNetResNet(depth=10, shortcut_type="B", pool="hw")
+    oct_dim = jax.eval_shape(
+        lambda x: probe.init_with_output(jax.random.key(0), x,
+                                         train=False)[0],
+        jnp.zeros((1, *args.oct_shape, 1), jnp.float32),
+    ).shape[-1]
     model = LegacyMultiModalFusion(
         num_classes=args.num_classes, oct_feature_dim=oct_dim,
         dtype=resolve_dtype(args.dtype),

@@ -2,10 +2,11 @@
 
 The reference uses torch DataLoader worker processes
 (MRI_PET_OT.py:1023-1036). Here loading is a thread pool over the pure-
-NumPy NIfTI reader feeding the jitted preprocess op, with an LRU cache of
-preprocessed volumes (the ADNI cohort — hundreds of ~128^3 volumes — fits
-host RAM comfortably once resized, so epochs after the first pay zero I/O)
-and one-batch lookahead prefetch so host I/O overlaps device compute.
+NumPy NIfTI reader, with an LRU cache of preprocessed volumes (the ADNI
+cohort — hundreds of ~128^3 volumes — fits host RAM comfortably once
+resized, so epochs after the first pay zero I/O; cohorts beyond the cache
+cap evict least-recently-used). Loads are synchronous per batch — with
+the cache warm after epoch 1 there is nothing left to overlap.
 
 Batch shapes are static except the final partial batch, which is yielded
 at its true size (reference DataLoader semantics; losses/metrics stay
@@ -17,6 +18,7 @@ from __future__ import annotations
 
 import concurrent.futures as cf
 import random
+from collections import OrderedDict
 from typing import Dict, Iterator, List, Sequence, Tuple
 
 import numpy as np
@@ -25,24 +27,33 @@ from otfusion_tpu.data.preprocess import load_volume
 
 
 class _VolumeCache:
+    """LRU cache of preprocessed volumes with thread-pool loading."""
+
     def __init__(self, target_shape, max_items: int = 2048):
         self.target_shape = tuple(target_shape)
         self.max_items = max_items
-        self._cache: Dict[str, np.ndarray] = {}
+        self._cache: OrderedDict[str, np.ndarray] = OrderedDict()
         self._pool = cf.ThreadPoolExecutor(max_workers=8)
 
     def get_many(self, paths: Sequence[str]) -> List[np.ndarray]:
-        missing = [p for p in paths if p not in self._cache]
-        loaded: Dict[str, np.ndarray] = {}
+        missing = list({p for p in paths if p not in self._cache})
         if missing:
             results = self._pool.map(
                 lambda p: load_volume(p, self.target_shape), missing
             )
             for p, vol in zip(missing, results):
-                loaded[p] = vol
-                if len(self._cache) < self.max_items:
-                    self._cache[p] = vol
-        return [self._cache.get(p, loaded.get(p)) for p in paths]
+                self._cache[p] = vol
+                while len(self._cache) > self.max_items:
+                    self._cache.popitem(last=False)
+        out = []
+        for p in paths:
+            vol = self._cache.get(p)
+            if vol is None:  # evicted between insert and read (tiny cache)
+                vol = load_volume(p, self.target_shape)
+            else:
+                self._cache.move_to_end(p)
+            out.append(vol)
+        return out
 
 
 def _augment_np(vol: np.ndarray, rng: random.Random) -> np.ndarray:

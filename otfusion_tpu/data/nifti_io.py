@@ -94,8 +94,15 @@ def read_nifti(path: str | Path) -> np.ndarray:
     # NIfTI stores Fortran (column-major) order.
     vol = data.reshape(shape, order="F")
 
-    if scl_slope not in (0.0, 1.0) or scl_inter not in (0.0,):
-        vol = vol.astype(np.float32) * (scl_slope or 1.0) + scl_inter
+    # NIfTI semantics (nibabel parity): slope == 0 or non-finite header
+    # values mean "no scaling" — many writers leave these uninitialised
+    # (NaN), and applying NaN would silently blank the whole volume.
+    if not np.isfinite(scl_slope) or scl_slope == 0.0:
+        scl_slope, scl_inter = 1.0, 0.0
+    if not np.isfinite(scl_inter):
+        scl_inter = 0.0
+    if scl_slope != 1.0 or scl_inter != 0.0:
+        vol = vol.astype(np.float32) * scl_slope + scl_inter
     return np.asarray(vol)
 
 

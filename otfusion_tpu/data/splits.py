@@ -125,7 +125,9 @@ def indices_from_path_entries(
     out = []
     for entry in entries:
         p = Path(entry[path_key])
-        candidate = str(p if p.is_absolute() else (Path(repo_root) / p).resolve())
+        candidate = str(
+            (p if p.is_absolute() else Path(repo_root) / p).resolve()
+        )
         if candidate not in path_to_index:
             raise ValueError(f"Path {candidate} not found in dataset.")
         out.append(path_to_index[candidate])

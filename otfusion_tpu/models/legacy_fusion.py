@@ -85,11 +85,16 @@ class LegacyMultiModalFusion(nn.Module):
     def project_oct2fundus(self, oct_feat, train: bool = False):
         return self._mlp(self.oct2fundus, oct_feat, train)
 
-    def fuse(self, fundus_feat, oct_feat, t_feature, train: bool = False):
+    def fuse(self, fundus_feat, oct_feat, t_feature, train: bool = False,
+             pred_oct=None, pred_fundus=None):
         """Classifier head given encoder features + OCT->fundus feature
-        plan ``t_feature`` (d_oct, d_fundus). Returns (logits, aux)."""
-        pred_oct = self.project_fundus2oct(fundus_feat, train)
-        pred_fundus = self.project_oct2fundus(oct_feat, train)
+        plan ``t_feature`` (d_oct, d_fundus). Projections may be passed in
+        precomputed (the train step computes them once for the OT losses)
+        or are computed here. Returns (logits, aux)."""
+        if pred_oct is None:
+            pred_oct = self.project_fundus2oct(fundus_feat, train)
+        if pred_fundus is None:
+            pred_fundus = self.project_oct2fundus(oct_feat, train)
         ot_fundus_from_oct = apply_feature_coupling(oct_feat, t_feature)
 
         oct_feature = self._mlp(

@@ -83,9 +83,10 @@ def gw_conditional_gradient(
         direction = emd(p, q, grad(t))
         delta = direction - t
         # f(t + s*delta) is quadratic in s: exact line search on [0, 1].
+        # f(T) = <constC, T> - 2<cx T cy^T, T>, so with symmetric cx/cy the
+        # linear coefficient is <constC, d> - 4<cx t cy^T, d>.
         a_quad = -2.0 * np.sum((cx @ delta @ cy.T) * delta)
-        b_lin = np.sum((const_c - 2.0 * cx @ t @ cy.T) * delta) * 2.0 \
-            - 0.0
+        b_lin = np.sum((const_c - 4.0 * cx @ t @ cy.T) * delta)
         # derivative: b_lin + 2 a_quad s ... minimise clipped to [0,1]
         if abs(a_quad) < 1e-30:
             step = 1.0 if b_lin < 0 else 0.0

@@ -158,7 +158,11 @@ def entropic_gw(
     ``epsilon`` is relative to the max-scaled self-cost matrices, matching
     the reference's OTT setup (scale_cost="max_cost", eps default 5e-3,
     2000 outer / 2000 Sinkhorn iteration caps —
-    MRI_PET_OT_OT_per_epoch_attn.py:168-177).
+    MRI_PET_OT_OT_per_epoch_attn.py:168-177). In the warm-start
+    formulation the inner solver runs ``inner_sweeps`` sweeps per
+    linearisation; ``sinkhorn_max_iterations`` (kept for reference flag
+    parity) caps that: effective sweeps = min(inner_sweeps,
+    sinkhorn_max_iterations).
 
     Masks mark valid rows for padded fixed-shape batching; padded entries
     carry zero marginal mass and end with zero coupling mass.
@@ -199,7 +203,8 @@ def entropic_gw(
     t0 = p[:, None] * q[None, :]
     t, err, n_iters, row_err = _egw_warm_loop(
         linearized_cost, pair_mask, p, q, log_p, log_q,
-        epsilon, max_iterations, threshold, inner_sweeps, t0,
+        epsilon, max_iterations, threshold,
+        min(inner_sweeps, sinkhorn_max_iterations), t0,
     )
     gw_cost = jnp.sum(linearized_cost(t) * t)
     return GWResult(
@@ -255,7 +260,8 @@ def entropic_gw_labels(
     t, err, n_iters, row_err = _egw_warm_loop(
         lambda tt: const_c - 2.0 * cx @ (tt @ cy.T),
         plan_mask, p, q, log_p, log_q,
-        epsilon, max_iterations, threshold, inner_sweeps, t0,
+        epsilon, max_iterations, threshold,
+        min(inner_sweeps, sinkhorn_max_iterations), t0,
     )
     gw_cost = jnp.sum((const_c - 2.0 * cx @ (t @ cy.T)) * t)
     return GWResult(t, n_iters, err <= threshold,

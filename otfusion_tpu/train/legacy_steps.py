@@ -47,14 +47,15 @@ def make_legacy_train_step(
     donate: bool = False,
 ) -> Callable:
     def step(state: FusionTrainState, fundus, oct_vol, labels, rng):
-        rng_drop, rng_s1, rng_s2 = jax.random.split(rng, 3)
+        rng_enc, rng_proj, rng_fuse, rng_s1, rng_s2 = jax.random.split(
+            rng, 5)
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
 
             (f_feat, o_feat), new_stats = model.apply(
                 variables, fundus, oct_vol, train=True,
-                rngs={"dropout": rng_drop}, mutable=["batch_stats"],
+                rngs={"dropout": rng_enc}, mutable=["batch_stats"],
                 method=model.encode,
             )
             new_stats = new_stats["batch_stats"]
@@ -76,9 +77,9 @@ def make_legacy_train_step(
             tv = fot(o_sg, f_sg, t_f2o.T, epsilon=ot_epsilon).coupling
 
             def apply_m(method, *args):
-                out, stats2 = model.apply(
+                out, _ = model.apply(
                     {"params": params, "batch_stats": new_stats},
-                    *args, train=True, rngs={"dropout": rng_drop},
+                    *args, train=True, rngs={"dropout": rng_proj},
                     mutable=["batch_stats"], method=method,
                 )
                 return out
@@ -91,11 +92,14 @@ def make_legacy_train_step(
             ot_loss = cosine_alignment_loss(pred_oct, o_sg[idx_oct]) + \
                 cosine_alignment_loss(pred_fundus, f_sg[idx_fundus])
 
-            (logits, _), stats3 = model.apply(
+            # Projections are passed in — computed once above for the OT
+            # losses (the 4096-wide MLPs would otherwise run twice).
+            (logits, _), _ = model.apply(
                 {"params": params, "batch_stats": new_stats},
                 f_feat, o_feat, tv, train=True,
-                rngs={"dropout": rng_drop}, mutable=["batch_stats"],
+                rngs={"dropout": rng_fuse}, mutable=["batch_stats"],
                 method=model.fuse,
+                pred_oct=pred_oct, pred_fundus=pred_fundus,
             )
             ce = cross_entropy(logits, labels)
             return ce + ot_loss, (logits, ce, ot_loss, new_stats)

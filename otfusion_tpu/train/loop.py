@@ -233,7 +233,10 @@ def run_fusion_training(
     )
     eval_step = make_fusion_eval_step(model)
     svc = None
-    if variant in ("per_epoch_attn", "base"):
+    # Only the flagship consumes a per-epoch coupling; the base variant
+    # solves in-batch inside its train step and its per-epoch eval
+    # coupling is provably inert (see the note in the epoch loop).
+    if variant == "per_epoch_attn":
         svc = CouplingService(
             make_feature_extract_step(model),
             n_labels=num_classes,

@@ -55,12 +55,15 @@ def set_learning_rate(state: FusionTrainState, lr: float) -> FusionTrainState:
 @dataclass
 class ReduceLROnPlateau:
     """Epoch-level plateau scheduler (torch ReduceLROnPlateau parity:
-    mode='min', factor=0.5, patience=5 — attn:1209)."""
+    mode='min', factor=0.5, patience=5, relative improvement threshold
+    1e-4 — attn:1209; without the threshold, noise-level improvements
+    reset patience forever and the LR never decays)."""
 
     initial_lr: float
     factor: float = 0.5
     patience: int = 5
     min_lr: float = 0.0
+    threshold: float = 1e-4
 
     def __post_init__(self):
         self.lr = self.initial_lr
@@ -70,7 +73,7 @@ class ReduceLROnPlateau:
     def step(self, metric: float) -> float:
         """Feed the epoch's validation loss; returns the (possibly reduced)
         learning rate to use next epoch."""
-        if metric < self.best:
+        if metric < self.best * (1.0 - self.threshold):
             self.best = metric
             self.bad_epochs = 0
         else:
