@@ -141,6 +141,7 @@ def fusion_main(
         dtype=resolve_dtype(args.dtype),
         num_classes=2,
         profile_dir=args.profile_dir,
+        resume=args.resume,
         config_lines={
             "Dataset": args.data_dir,
             "Train/Val Split": f"{1 - args.val_fraction:.1%}/"

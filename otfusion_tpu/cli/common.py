@@ -27,6 +27,10 @@ def add_common_args(parser: argparse.ArgumentParser, *, epochs: int,
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--save-path", type=str, default=save_path)
     parser.add_argument("--augment", action="store_true")
+    parser.add_argument("--resume", action="store_true",
+                        help="Resume from <save-path>/latest (true "
+                             "mid-training resume incl. optimiser and "
+                             "LR-scheduler state; TPU-native addition)")
     parser.add_argument("--device", type=str, default="tpu",
                         help="Accelerator platform (tpu; cpu for debugging)")
     parser.add_argument("--max-samples-per-class", type=int, default=None)

@@ -49,6 +49,7 @@ from otfusion_tpu.train.train_state import (
     set_learning_rate,
 )
 from otfusion_tpu.utils.checkpoint import (
+    load_metadata,
     restore_backbone,
     restore_checkpoint,
     save_checkpoint,
@@ -160,6 +161,7 @@ def run_fusion_training(
     config_lines: Optional[Dict[str, object]] = None,
     progress: bool = True,
     profile_dir: Optional[str] = None,
+    resume: bool = False,
 ) -> Dict[str, object]:
     if not len(val_idx) or not len(train_idx):
         raise ValueError(
@@ -249,11 +251,30 @@ def run_fusion_training(
 
     writer = ResultsWriter(
         results_file, results_title, config_lines or {}, style="fusion",
+        append=resume,
     )
     scheduler = ReduceLROnPlateau(lr, factor=0.5, patience=5)
     best_val_loss = float("inf")
     best_summary = None
     rng_base = jax.random.key(seed + 1)
+    start_epoch = 1
+
+    # True mid-training resume from the "latest" checkpoint (optimiser
+    # state + scheduler state included); the reference exposes a
+    # --start_epoch flag but has no resume logic (SURVEY.md §5).
+    latest_dir = os.path.join(save_path, "latest")
+    if resume and os.path.isdir(latest_dir):
+        meta = load_metadata(latest_dir) or {}
+        state = restore_checkpoint(latest_dir, state,
+                                   include_opt_state=True)
+        start_epoch = int(meta.get("epoch", 0)) + 1
+        best_val_loss = float(meta.get("best_val_loss", float("inf")))
+        best_summary = meta.get("best_summary")
+        scheduler.lr = float(meta.get("lr", lr))
+        scheduler.best = float(meta.get("sched_best", float("inf")))
+        scheduler.bad_epochs = int(meta.get("sched_bad_epochs", 0))
+        state = set_learning_rate(state, scheduler.lr)
+        print(f"Resumed from {latest_dir} at epoch {start_epoch}")
 
     def compute_tv():
         return svc.compute(state, iter(feat_loader))
@@ -262,7 +283,7 @@ def run_fusion_training(
 
     history = []
     jsonl_path = os.path.join(save_path, "metrics.jsonl")
-    for epoch in range(1, epochs + 1):
+    for epoch in range(start_epoch, epochs + 1):
         t0 = time.time()
         with _MaybeProfile(profile_dir, epoch):
             state, train_loss, train_acc = _run_train_epoch(
@@ -306,6 +327,15 @@ def run_fusion_training(
 
         new_lr = scheduler.step(val_loss)
         state = set_learning_rate(state, new_lr)
+
+        save_checkpoint(
+            latest_dir, state,
+            {"epoch": epoch, "best_val_loss": best_val_loss,
+             "best_summary": best_summary, "lr": scheduler.lr,
+             "sched_best": scheduler.best,
+             "sched_bad_epochs": scheduler.bad_epochs},
+            include_opt_state=True,
+        )
 
         if needs_tv and epoch < epochs:
             tv = compute_tv()

@@ -28,14 +28,23 @@ def save_checkpoint(
     directory: str | Path,
     state,
     metadata: Dict[str, Any] | None = None,
+    include_opt_state: bool = False,
 ) -> None:
-    """Write params/batch_stats (+ JSON metadata) under ``directory``."""
+    """Write params/batch_stats (+ JSON metadata) under ``directory``.
+
+    ``include_opt_state=True`` additionally stores the optimiser state and
+    step counter — the "latest" checkpoint flavour used for true
+    mid-training resume (the reference has a --start_epoch flag but no
+    actual resume logic anywhere, SURVEY.md §5)."""
     directory = Path(directory).resolve()
     ckptr = ocp.StandardCheckpointer()
     payload = {
         "params": _to_host(state.params),
         "batch_stats": _to_host(state.batch_stats),
     }
+    if include_opt_state:
+        payload["opt_state"] = _to_host(state.opt_state)
+        payload["step"] = np.asarray(state.step)
     if directory.exists():
         import shutil
 
@@ -47,18 +56,40 @@ def save_checkpoint(
             json.dump(metadata, f, indent=2, default=float)
 
 
-def restore_checkpoint(directory: str | Path, state):
-    """Restore params/batch_stats into ``state`` (shapes must match)."""
+def load_metadata(directory: str | Path) -> Dict[str, Any] | None:
+    meta = Path(directory).resolve()
+    meta = meta.parent / (meta.name + ".meta.json")
+    if meta.exists():
+        with open(meta) as f:
+            return json.load(f)
+    return None
+
+
+def restore_checkpoint(directory: str | Path, state,
+                       include_opt_state: bool = False):
+    """Restore params/batch_stats (and optionally opt_state/step) into
+    ``state`` (shapes must match)."""
     directory = Path(directory).resolve()
     ckptr = ocp.StandardCheckpointer()
     target = {
         "params": _to_host(state.params),
         "batch_stats": _to_host(state.batch_stats),
     }
+    if include_opt_state:
+        target["opt_state"] = _to_host(state.opt_state)
+        target["step"] = np.asarray(state.step)
     restored = ckptr.restore(directory, target)
-    return state.replace(
+    state = state.replace(
         params=restored["params"], batch_stats=restored["batch_stats"]
     )
+    if include_opt_state:
+        opt_state = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(state.opt_state),
+            jax.tree_util.tree_leaves(restored["opt_state"]),
+        )
+        state = state.replace(opt_state=opt_state,
+                              step=int(restored["step"]))
+    return state
 
 
 def restore_backbone(

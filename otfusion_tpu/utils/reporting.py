@@ -41,12 +41,15 @@ class ResultsWriter:
     """Writes the reference's fixed-width results.txt."""
 
     def __init__(self, path: str | Path, title: str, config: Dict[str, object],
-                 style: str = "unimodal"):
+                 style: str = "unimodal", append: bool = False):
         """``style``: "unimodal" emits "Best Epoch: ..." in the summary
         (3D_resnet.py:1001-1013); "fusion" emits "Best Metrics | Epoch: ..."
-        (attn:1299-1310)."""
+        (attn:1299-1310). ``append=True`` (resume) keeps the existing file
+        and skips the header."""
         self.path = Path(path)
         self.style = style
+        if append and self.path.exists():
+            return
         with open(self.path, "w") as f:
             f.write(title + "\n")
             f.write("=" * 80 + "\n")

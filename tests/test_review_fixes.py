@@ -132,3 +132,30 @@ def test_volume_cache_evicts_lru(tmp_path, rng):
     # most recent two remain cached; everything still readable
     again = cache.get_many(paths[:1])
     assert np.isfinite(again[0]).all()
+
+
+def test_fusion_resume_continues_training(tmp_path, rng):
+    """--resume restores params, optimiser, scheduler, and epoch counter."""
+    from otfusion_tpu.cli.train_ot_attn import main
+    from otfusion_tpu.data import make_synthetic_adni
+
+    tree = make_synthetic_adni(tmp_path / "adni", n_per_class=4,
+                               shape=(10, 10, 10))
+    out = tmp_path / "run"
+    flags = ["--data-dir", str(tree), "--save-path", str(out),
+             "--batch-size", "2", "--target-shape", "10", "10", "10",
+             "--val-fraction", "0.34", "--model-depth", "10",
+             "--dtype", "float32", "--max-jax-samples", "4",
+             "--gw-max-iterations", "30", "--device", "cpu"]
+    main(flags + ["--epochs", "2"])
+    assert (out / "latest").is_dir()
+    n_rows_before = len((out / "metrics.jsonl").read_text().splitlines())
+    assert n_rows_before == 2
+
+    # resume to epoch 4: trains only epochs 3-4, appends to artifacts
+    main(flags + ["--epochs", "4", "--resume"])
+    lines = (out / "metrics.jsonl").read_text().splitlines()
+    assert len(lines) == 4
+    assert json.loads(lines[2])["epoch"] == 3  # continued, not restarted
+    text = (out / "results.txt").read_text()
+    assert text.count("=" * 80) >= 2  # single header + final summary block
