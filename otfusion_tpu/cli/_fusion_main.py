@@ -60,6 +60,11 @@ def fusion_main(
         elif spec["mode"] == "ids":
             id_split = spec  # honoured below: the file's train/val
             # assignment is kept, never re-randomised
+        elif spec["mode"] == "path_list":
+            raise ValueError(
+                "bare-list split files are train-only; supply a "
+                "{train, val} split JSON (combine the emitted "
+                "train_split.json/val_split.json)")
         else:
             patient_filter = spec["filter"]
 
@@ -73,41 +78,31 @@ def fusion_main(
             seed=args.seed,
         )
 
+    from types import SimpleNamespace
+
     repo_root = Path(args.data_dir).resolve().parent
     if id_split is not None:
         # Fixed patient-ID split: two disjoint cohorts, exactly as the
-        # unimodal reference does (3D_resnet.py:818-843).
+        # unimodal reference does (3D_resnet.py:818-843); artifacts are
+        # emitted by the shared resolver below.
         train_ds = build_dataset(id_split["train"])
         val_ds = build_dataset(id_split["val"])
-
-        class _Combined:
-            samples = train_ds.samples + val_ds.samples
-            patient_ids_used = {
+        dataset = SimpleNamespace(
+            samples=train_ds.samples + val_ds.samples,
+            patient_ids_used={
                 k: train_ds.patient_ids_used.get(k, [])
                 + val_ds.patient_ids_used.get(k, [])
                 for k in table_a
-            }
-
-            def __len__(self):
-                return len(self.samples)
-
-        dataset = _Combined()
+            },
+        )
         print(f"Found {len(dataset.samples)} paired samples (fixed ID split)")
-        args._fixed_split = None
-        train_idx = list(range(len(train_ds.samples)))
-        val_idx = list(range(len(train_ds.samples), len(dataset.samples)))
-        # still emit the artifacts resolve_multimodal_split would
-        from otfusion_tpu.data.splits import save_path_split
-        import json as _json
-
-        save_dir = Path(args.save_path)
-        save_dir.mkdir(parents=True, exist_ok=True)
-        with open(save_dir / "patient_ids_all.json", "w") as f:
-            _json.dump(dataset.patient_ids_used, f, indent=2)
-        save_path_split(save_dir / "train_split.json", dataset.samples,
-                        train_idx, repo_root)
-        save_path_split(save_dir / "val_split.json", dataset.samples,
-                        val_idx, repo_root)
+        fixed = (
+            list(range(len(train_ds.samples))),
+            list(range(len(train_ds.samples), len(dataset.samples))),
+        )
+        train_idx, val_idx = resolve_multimodal_split(
+            args, dataset, repo_root, fixed_indices=fixed
+        )
     else:
         dataset = build_dataset(patient_filter)
         print(f"Found {len(dataset)} paired samples")
@@ -146,7 +141,7 @@ def fusion_main(
             "Dataset": args.data_dir,
             "Train/Val Split": f"{1 - args.val_fraction:.1%}/"
                                f"{args.val_fraction:.1%}",
-            "Total Samples": len(dataset),
+            "Total Samples": len(dataset.samples),
             "Train Samples": len(train_idx),
             "Val Samples": len(val_idx),
             "Batch Size": args.batch_size,

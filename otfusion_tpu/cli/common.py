@@ -101,10 +101,12 @@ def enable_compilation_cache() -> None:
         pass  # older jax without the knobs — harmless
 
 
-def resolve_multimodal_split(args, dataset, repo_root: Path):
+def resolve_multimodal_split(args, dataset, repo_root: Path,
+                             fixed_indices=None):
     """Shared split logic of the fusion trainers (attn:1083-1165):
-    fixed path-split JSON, patient-ID filter, or stratified split. Returns
-    (train_idx, val_idx), after emitting patient_ids/split artifacts."""
+    fixed path-split JSON, precomputed indices (fixed patient-ID splits),
+    patient-ID filter, or stratified split. Returns (train_idx, val_idx),
+    after emitting the patient_ids/split artifacts."""
     from otfusion_tpu.data.splits import (
         indices_from_path_entries,
         save_path_split,
@@ -116,7 +118,9 @@ def resolve_multimodal_split(args, dataset, repo_root: Path):
     with open(save_dir / "patient_ids_all.json", "w") as f:
         json.dump(dataset.patient_ids_used, f, indent=2)
 
-    if getattr(args, "_fixed_split", None):
+    if fixed_indices is not None:
+        train_idx, val_idx = fixed_indices
+    elif getattr(args, "_fixed_split", None):
         spec = args._fixed_split
         train_idx = indices_from_path_entries(
             spec["train"], dataset.samples, repo_root

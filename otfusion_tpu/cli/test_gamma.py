@@ -57,14 +57,9 @@ def main(argv=None):
                            oct_shape=args.oct_shape,
                            fundus_size=args.fundus_size)
     loader = GammaLoader(dataset, range(len(dataset)), args.batch_size)
-    from otfusion_tpu.models.medicalnet import MedicalNetResNet
+    from otfusion_tpu.models.legacy_fusion import probe_oct_dim
 
-    probe = MedicalNetResNet(depth=10, shortcut_type="B", pool="hw")
-    oct_dim = jax.eval_shape(
-        lambda x: probe.init_with_output(jax.random.key(0), x,
-                                         train=False)[0],
-        jnp.zeros((1, *args.oct_shape, 1), jnp.float32),
-    ).shape[-1]
+    oct_dim = probe_oct_dim(args.oct_shape)
     model = LegacyMultiModalFusion(
         num_classes=args.num_classes, oct_feature_dim=oct_dim,
         dtype=resolve_dtype(args.dtype),

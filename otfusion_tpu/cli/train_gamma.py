@@ -64,8 +64,10 @@ def main(argv=None):
 
     from otfusion_tpu.data.gamma import GammaDataset, GammaLoader
     from otfusion_tpu.metrics.classification import classification_metrics
-    from otfusion_tpu.models.legacy_fusion import LegacyMultiModalFusion
-    from otfusion_tpu.models.medicalnet import MedicalNetResNet
+    from otfusion_tpu.models.legacy_fusion import (
+        LegacyMultiModalFusion,
+        probe_oct_dim,
+    )
     from otfusion_tpu.train.coupling import coupling_pipeline, group_and_pad
     from otfusion_tpu.train.ensemble import (
         collect_member_logits,
@@ -87,15 +89,7 @@ def main(argv=None):
                            fundus_size=args.fundus_size)
     print(f"GAMMA cohort: {len(dataset)} cases")
 
-    # OCT feature width follows the input depth (512 * D'); the trunk's
-    # ceil-mode strides make floor division wrong off multiples of 8, so
-    # probe the encoder shape abstractly.
-    probe = MedicalNetResNet(depth=10, shortcut_type="B", pool="hw")
-    oct_dim = jax.eval_shape(
-        lambda x: probe.init_with_output(jax.random.key(0), x,
-                                         train=False)[0],
-        jnp.zeros((1, *args.oct_shape, 1), jnp.float32),
-    ).shape[-1]
+    oct_dim = probe_oct_dim(args.oct_shape)
     model = LegacyMultiModalFusion(
         num_classes=args.num_classes, oct_feature_dim=oct_dim,
         dtype=resolve_dtype(args.dtype),

@@ -148,6 +148,7 @@ def main(argv=None):
         augment=args.augment,
         dtype=resolve_dtype(args.dtype),
         profile_dir=args.profile_dir,
+        resume=args.resume,
         config_lines={
             "Dataset": args.data_dir,
             "Train/Val Split": f"{1 - args.val_fraction:.1%}/"

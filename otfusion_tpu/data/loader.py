@@ -37,22 +37,25 @@ class _VolumeCache:
 
     def get_many(self, paths: Sequence[str]) -> List[np.ndarray]:
         missing = list({p for p in paths if p not in self._cache})
+        loaded: Dict[str, np.ndarray] = {}
         if missing:
             results = self._pool.map(
                 lambda p: load_volume(p, self.target_shape), missing
             )
-            for p, vol in zip(missing, results):
-                self._cache[p] = vol
-                while len(self._cache) > self.max_items:
-                    self._cache.popitem(last=False)
+            loaded = dict(zip(missing, results))
+        # Serve this call entirely from cache + the just-loaded batch
+        # (never re-read something evicted mid-call), THEN enforce the cap.
         out = []
         for p in paths:
-            vol = self._cache.get(p)
-            if vol is None:  # evicted between insert and read (tiny cache)
-                vol = load_volume(p, self.target_shape)
+            if p in loaded:
+                out.append(loaded[p])
             else:
                 self._cache.move_to_end(p)
-            out.append(vol)
+                out.append(self._cache[p])
+        for p, vol in loaded.items():
+            self._cache[p] = vol
+        while len(self._cache) > self.max_items:
+            self._cache.popitem(last=False)
         return out
 
 

@@ -29,6 +29,22 @@ from otfusion_tpu.models.res2net import res2net50_v1b_26w_4s
 from otfusion_tpu.ops.fot import apply_feature_coupling
 
 
+def probe_oct_dim(oct_shape) -> int:
+    """Abstractly evaluate the OCT encoder's feature width (512 * D') for
+    a given input shape — the single source of truth for the encoder
+    config that LegacyMultiModalFusion.setup instantiates (the trunk's
+    ceil-mode strides make closed-form floor division wrong off multiples
+    of 8)."""
+    import jax
+
+    probe = MedicalNetResNet(depth=10, shortcut_type="B", pool="hw")
+    return jax.eval_shape(
+        lambda x: probe.init_with_output(jax.random.key(0), x,
+                                         train=False)[0],
+        jnp.zeros((1, *oct_shape, 1), jnp.float32),
+    ).shape[-1]
+
+
 class LegacyMultiModalFusion(nn.Module):
     """Fundus(2D) + OCT(3D) OT fusion classifier."""
 

@@ -209,11 +209,14 @@ class SwinTransformer2D(nn.Module):
                     name=f"stage{stage}_block{i}",
                 )(x, train)
                 bi += 1
-            if stage == len(self.depths) - 3:
-                vis_feat = x
             if stage < len(self.depths) - 1:
                 x = PatchMerging(dim, dtype=self.dtype,
                                  name=f"merge{stage}")(x)
+            if stage == len(self.depths) - 3:
+                # reference captures AFTER the stage's downsample
+                # (BasicLayer.forward applies PatchMerging last,
+                # swin_transformer_vis.py:568-570, capture at :752-756)
+                vis_feat = x
 
         tokens = nn.LayerNorm(dtype=jnp.float32, name="norm")(
             x.reshape(b, -1, x.shape[-1]).astype(jnp.float32))

@@ -383,6 +383,7 @@ def run_unimodal_training(
     config_lines: Optional[Dict[str, object]] = None,
     progress: bool = True,
     profile_dir: Optional[str] = None,
+    resume: bool = False,
 ) -> Dict[str, object]:
     if not len(val_idx) or not len(train_idx):
         raise ValueError(
@@ -414,14 +415,25 @@ def run_unimodal_training(
     eval_step = make_unimodal_eval_step(model)
 
     writer = ResultsWriter(results_file, results_title, config_lines or {},
-                           style="unimodal")
+                           style="unimodal", append=resume)
     best_val_loss = float("inf")
     best_summary = None
     rng_base = jax.random.key(seed + 1)
+    start_epoch = 1
+
+    latest_dir = os.path.join(save_path, "latest")
+    if resume and os.path.isdir(latest_dir):
+        meta = load_metadata(latest_dir) or {}
+        state = restore_checkpoint(latest_dir, state,
+                                   include_opt_state=True)
+        start_epoch = int(meta.get("epoch", 0)) + 1
+        best_val_loss = float(meta.get("best_val_loss", float("inf")))
+        best_summary = meta.get("best_summary")
+        print(f"Resumed from {latest_dir} at epoch {start_epoch}")
 
     history = []
     jsonl_path = os.path.join(save_path, "metrics.jsonl")
-    for epoch in range(1, epochs + 1):
+    for epoch in range(start_epoch, epochs + 1):
         t0 = time.time()
         with _MaybeProfile(profile_dir, epoch):
             state, train_loss, train_acc = _run_train_epoch(
@@ -454,6 +466,13 @@ def run_unimodal_training(
             best_summary = {"epoch": epoch, "val_loss": val_loss,
                             "val_acc": val_acc, **metrics}
             save_checkpoint(model_dir, state, best_summary)
+
+        save_checkpoint(
+            latest_dir, state,
+            {"epoch": epoch, "best_val_loss": best_val_loss,
+             "best_summary": best_summary},
+            include_opt_state=True,
+        )
 
     writer.summary(best_val_loss, best_summary, model_dir)
 

@@ -12,6 +12,7 @@ reference's --mri-pretrained/--pet-pretrained flags.
 from __future__ import annotations
 
 import json
+import os
 from pathlib import Path
 from typing import Any, Dict
 
@@ -36,6 +37,8 @@ def save_checkpoint(
     step counter — the "latest" checkpoint flavour used for true
     mid-training resume (the reference has a --start_epoch flag but no
     actual resume logic anywhere, SURVEY.md §5)."""
+    import shutil
+
     directory = Path(directory).resolve()
     ckptr = ocp.StandardCheckpointer()
     payload = {
@@ -45,15 +48,28 @@ def save_checkpoint(
     if include_opt_state:
         payload["opt_state"] = _to_host(state.opt_state)
         payload["step"] = np.asarray(state.step)
-    if directory.exists():
-        import shutil
 
-        shutil.rmtree(directory)
-    ckptr.save(directory, payload)
+    # Atomic swap: write to a temp dir, then rename — a preemption
+    # mid-save (the exact event the 'latest' checkpoint exists for) must
+    # never destroy the previous checkpoint.
+    tmp_dir = directory.parent / (directory.name + ".tmp")
+    old_dir = directory.parent / (directory.name + ".old")
+    for stale in (tmp_dir, old_dir):
+        if stale.exists():
+            shutil.rmtree(stale)
+    ckptr.save(tmp_dir, payload)
     ckptr.wait_until_finished()
+    if directory.exists():
+        os.rename(directory, old_dir)
+    os.rename(tmp_dir, directory)
+    if old_dir.exists():
+        shutil.rmtree(old_dir)
     if metadata is not None:
-        with open(directory.parent / (directory.name + ".meta.json"), "w") as f:
+        meta_path = directory.parent / (directory.name + ".meta.json")
+        tmp_meta = meta_path.with_suffix(".json.tmp")
+        with open(tmp_meta, "w") as f:
             json.dump(metadata, f, indent=2, default=float)
+        os.replace(tmp_meta, meta_path)
 
 
 def load_metadata(directory: str | Path) -> Dict[str, Any] | None:

@@ -49,6 +49,15 @@ class ResultsWriter:
         self.path = Path(path)
         self.style = style
         if append and self.path.exists():
+            # A resumed run appends epoch rows; strip the previous run's
+            # trailing summary block so the file keeps the reference's
+            # header/rows/summary shape and the aggregator (which takes
+            # the FIRST summary match) reports the final metrics.
+            text = self.path.read_text()
+            marker = "\n" + "=" * 80 + "\nBest Validation Loss:"
+            idx = text.find(marker)
+            if idx != -1:
+                self.path.write_text(text[: idx + 1])
             return
         with open(self.path, "w") as f:
             f.write(title + "\n")

@@ -158,4 +158,30 @@ def test_fusion_resume_continues_training(tmp_path, rng):
     assert len(lines) == 4
     assert json.loads(lines[2])["epoch"] == 3  # continued, not restarted
     text = (out / "results.txt").read_text()
-    assert text.count("=" * 80) >= 2  # single header + final summary block
+    # exactly one summary block survives (the stale epoch-2 summary is
+    # stripped on resume so the aggregator's first-match regex reports
+    # the final best metrics)
+    assert text.count("Best Validation Loss:") == 1
+    from otfusion_tpu.utils.reporting import parse_results_file
+    row = parse_results_file(out / "results.txt")
+    assert row is not None and 1 <= int(row["best_epoch"]) <= 4
+
+
+def test_unimodal_resume(tmp_path, rng):
+    from otfusion_tpu.cli.train_unimodal import main
+    from otfusion_tpu.data import make_synthetic_adni
+
+    tree = make_synthetic_adni(tmp_path / "adni", n_per_class=4,
+                               shape=(10, 10, 10))
+    out = tmp_path / "uni"
+    flags = ["--data-dir", str(tree), "--save-path", str(out),
+             "--batch-size", "2", "--target-shape", "10", "10", "10",
+             "--val-fraction", "0.34", "--model-depth", "10",
+             "--dtype", "float32", "--classes", "AD", "CN",
+             "--device", "cpu"]
+    main(flags + ["--epochs", "2"])
+    main(flags + ["--epochs", "3", "--resume"])
+    lines = (out / "metrics.jsonl").read_text().splitlines()
+    assert [json.loads(l)["epoch"] for l in lines] == [1, 2, 3]
+    assert (out / "results.txt").read_text().count(
+        "Best Validation Loss:") == 1

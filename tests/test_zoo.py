@@ -100,8 +100,9 @@ def test_swin_vis_variant():
                               window=4, drop_path_rate=0.0, remat=False,
                               return_hidden=True)
     tokens, pooled, vis = _init_apply(model, jnp.zeros((1, 32, 32, 3)))
-    # vis = after stage len-3 = stage 0, before its merge: 8x8x16
-    assert vis.shape == (1, 8, 8, 16)
+    # vis = after stage len-3 = stage 0 INCLUDING its merge (reference
+    # BasicLayer applies downsample last): 4x4x32
+    assert vis.shape == (1, 4, 4, 32)
     assert pooled.shape[-1] == 64
 
 
