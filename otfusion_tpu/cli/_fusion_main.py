@@ -133,6 +133,7 @@ def fusion_main(
         pet_pretrained=args.pet_pretrained,
         mri_backbone=args.mri_backbone,
         pet_backbone=args.pet_backbone,
+        remat=args.remat,
         dtype=resolve_dtype(args.dtype),
         num_classes=2,
         profile_dir=args.profile_dir,

@@ -63,6 +63,10 @@ def add_ot_args(parser: argparse.ArgumentParser) -> None:
                              "--model-depth")
     parser.add_argument("--pet-backbone", type=str, default="",
                         help="Registry backbone for PET; empty = ResNet3D")
+    parser.add_argument("--remat", action="store_true",
+                        help="Gradient-checkpoint the 3D ResNet blocks "
+                             "(activation memory for large batches at "
+                             "128^3; TPU-native addition)")
 
 
 def set_seed(seed: int) -> None:

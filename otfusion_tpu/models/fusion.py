@@ -68,7 +68,8 @@ class _FusionMLP(nn.Module):
         return nn.Dense(self.dim, dtype=self.dtype)(x)
 
 
-def build_fusion_backbone(spec: str, depth: int, dtype, name=None):
+def build_fusion_backbone(spec: str, depth: int, dtype, name=None,
+                          remat: bool = False):
     """Construct a fusion-side backbone from its registry spec (empty =
     the reference's ResNet3D at ``depth``). Free function so callers
     outside a module scope (feature extraction, shape probing) can build
@@ -76,7 +77,7 @@ def build_fusion_backbone(spec: str, depth: int, dtype, name=None):
     from otfusion_tpu.models.registry import build_backbone
 
     if not spec:
-        return ResNet3DBackbone(depth, dtype=dtype, name=name)
+        return ResNet3DBackbone(depth, remat=remat, dtype=dtype, name=name)
     return build_backbone(spec, dtype=dtype, name=name)
 
 
@@ -94,12 +95,14 @@ class MultimodalOTFusion(nn.Module):
     # attention token lives in MRI space, so nothing requires equal dims.
     mri_backbone: str = ""
     pet_backbone: str = ""
+    # gradient checkpointing for the default ResNet3D backbones
+    remat: bool = False
     dtype: Any = jnp.float32
 
     def _make_backbone(self, name_attr: str, module_name: str):
         return build_fusion_backbone(
             getattr(self, name_attr), self.depth, self.dtype,
-            name=module_name,
+            name=module_name, remat=self.remat,
         )
 
     @nn.compact

@@ -135,12 +135,18 @@ class ResNet3DBackbone(nn.Module):
     """
 
     depth: int = 50
+    # Gradient checkpointing per residual block: recompute activations in
+    # the backward pass. Trades ~1/3 more FLOPs for the activation memory
+    # that otherwise prevents large batches at 128^3 (HBM compile OOM).
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         layers, kind = DEPTH_CONFIGS[self.depth]
         block = BasicBlock3D if kind == "basic" else Bottleneck3D
+        if self.remat:
+            block = nn.remat(block, static_argnums=(2,))
 
         x = x.astype(self.dtype)
         # Stem: anisotropic conv + maxpool preserving depth resolution.

@@ -153,6 +153,7 @@ def run_fusion_training(
     pet_pretrained: Optional[str] = None,
     mri_backbone: str = "",
     pet_backbone: str = "",
+    remat: bool = False,
     dtype=jnp.float32,
     num_classes: int = 2,
     results_title: str = (
@@ -193,6 +194,7 @@ def run_fusion_training(
         variant=variant,
         mri_backbone=mri_backbone,
         pet_backbone=pet_backbone,
+        remat=remat,
         dtype=dtype,
     )
     mri0, pet0, _ = next(iter(feat_loader))
@@ -201,7 +203,8 @@ def run_fusion_training(
 
     def _backbone_dim(name_attr, sample):
         backbone = build_fusion_backbone(
-            getattr(model, name_attr), model.depth, model.dtype)
+            getattr(model, name_attr), model.depth, model.dtype,
+            remat=model.remat)
         out = jax.eval_shape(
             lambda x: backbone.init_with_output(
                 {"params": jax.random.key(0),
@@ -231,7 +234,10 @@ def run_fusion_training(
         model,
         in_batch_fot=(variant == "base"),
         fot_epsilon=1e-3,
-        donate=False,
+        # Donate the input state: the old parameter/optimiser buffers are
+        # freed during the step — at depth-101/128^3/B8 that headroom is
+        # the difference between fitting HBM and ResourceExhausted.
+        donate=True,
     )
     eval_step = make_fusion_eval_step(model)
     svc = None
@@ -411,7 +417,7 @@ def run_unimodal_training(
         model, jax.random.key(seed), (jnp.asarray(vol0),), lr,
         optimizer="adam",
     )
-    train_step = make_unimodal_train_step(model, donate=False)
+    train_step = make_unimodal_train_step(model, donate=True)
     eval_step = make_unimodal_eval_step(model)
 
     writer = ResultsWriter(results_file, results_title, config_lines or {},

@@ -130,10 +130,11 @@ def make_feature_extract_step(model) -> Callable:
 
     from otfusion_tpu.models.fusion import build_fusion_backbone
 
+    remat = getattr(model, "remat", False)
     mri_backbone = build_fusion_backbone(
-        model.mri_backbone, model.depth, model.dtype)
+        model.mri_backbone, model.depth, model.dtype, remat=remat)
     pet_backbone = build_fusion_backbone(
-        model.pet_backbone, model.depth, model.dtype)
+        model.pet_backbone, model.depth, model.dtype, remat=remat)
 
     def step(state: FusionTrainState, mri, pet):
         def run(backbone, params_key, x):
