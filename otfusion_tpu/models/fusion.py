@@ -97,6 +97,14 @@ class MultimodalOTFusion(nn.Module):
     pet_backbone: str = ""
     # gradient checkpointing for the default ResNet3D backbones
     remat: bool = False
+    # Strict reproduction of the reference flagship's plan application:
+    # the raw, un-normalised ``pet_feat @ T.t()`` (attn:728) — an
+    # axis-mixing matmul that only type-checks because d_pet == d_mri in
+    # the reference. Default False uses the column-normalised barycentric
+    # projection (the common intent of both reference variants; see
+    # ops/fot.py:apply_feature_coupling and PARITY.md §"behavioural
+    # deviations").
+    raw_plan: bool = False
     dtype: Any = jnp.float32
 
     def _make_backbone(self, name_attr: str, module_name: str):
@@ -152,7 +160,11 @@ class MultimodalOTFusion(nn.Module):
                     "variant (reference attn:723-725)")
             # PET features mapped into MRI space by the feature plan
             # (barycentric projection; t_feature is (d_pet, d_mri)).
-            ot_mri_from_pet = apply_feature_coupling(pet_feat, t_feature)
+            if self.raw_plan:
+                ot_mri_from_pet = pet_feat @ jnp.asarray(
+                    t_feature, pet_feat.dtype).T
+            else:
+                ot_mri_from_pet = apply_feature_coupling(pet_feat, t_feature)
             tokens = jnp.stack([mri_feat, ot_mri_from_pet, pet_to_mri],
                                axis=1)  # (B, 3, d)
             attn_out = attention(tokens, train).mean(axis=1)

@@ -54,6 +54,11 @@ def save_checkpoint(
     # never destroy the previous checkpoint.
     tmp_dir = directory.parent / (directory.name + ".tmp")
     old_dir = directory.parent / (directory.name + ".old")
+    # Crash recovery: a preemption between the two renames below leaves no
+    # `directory` but a complete `.old` — promote it back FIRST, otherwise
+    # the stale-cleanup would rmtree the only surviving checkpoint.
+    if not directory.exists() and old_dir.exists():
+        os.rename(old_dir, directory)
     for stale in (tmp_dir, old_dir):
         if stale.exists():
             shutil.rmtree(stale)
@@ -72,7 +77,25 @@ def save_checkpoint(
         os.replace(tmp_meta, meta_path)
 
 
+def _recover_dir(directory: Path) -> Path:
+    """Fall back to the `.old` snapshot when `directory` is missing — the
+    read-side counterpart of the crash-recovery promote in save_checkpoint
+    (covers a crash that also prevented any later save)."""
+    old_dir = directory.parent / (directory.name + ".old")
+    if not directory.exists() and old_dir.exists():
+        return old_dir
+    return directory
+
+
+def checkpoint_exists(directory: str | Path) -> bool:
+    """True when ``directory`` (or its `.old` crash fallback) holds a
+    restorable checkpoint."""
+    return _recover_dir(Path(directory).resolve()).exists()
+
+
 def load_metadata(directory: str | Path) -> Dict[str, Any] | None:
+    # The meta file is os.replace'd separately after the payload swap, so
+    # it keeps its canonical name even when the payload fell back to .old.
     meta = Path(directory).resolve()
     meta = meta.parent / (meta.name + ".meta.json")
     if meta.exists():
@@ -85,7 +108,7 @@ def restore_checkpoint(directory: str | Path, state,
                        include_opt_state: bool = False):
     """Restore params/batch_stats (and optionally opt_state/step) into
     ``state`` (shapes must match)."""
-    directory = Path(directory).resolve()
+    directory = _recover_dir(Path(directory).resolve())
     ckptr = ocp.StandardCheckpointer()
     target = {
         "params": _to_host(state.params),
