@@ -1,5 +1,6 @@
-"""Benchmark: per-epoch OT coupling (EGW per label + FOT) on TPU vs the
-reference's CPU-NumPy solver path.
+"""Benchmark: (1) per-epoch OT coupling (EGW per label + FOT) on TPU vs
+the reference's CPU-NumPy solver path, (2) the flagship fusion TRAIN STEP
+(depth-101 @128^3 bf16) with samples/s and an analytic-FLOPs MFU estimate.
 
 The reference computes its coupling once per epoch on CPU (JAX pinned to
 CPU with JIT disabled, MRI_PET_OT.py:18-27; POT/NumPy in the nojax
@@ -18,14 +19,21 @@ same convergence thresholds, same iteration caps):
     structure as fot.py).
 
 Prints ONE JSON line: value = TPU couplings/sec; vs_baseline = speedup of
-the TPU pipeline over the CPU-NumPy pipeline (target >= 10).
+the TPU pipeline over the CPU-NumPy pipeline (target >= 10). The train-
+step numbers ride along in "extra" (train_step_ms / samples_per_s / mfu).
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# v5e peak bf16 throughput per chip (jax-ml.github.io/scaling-book):
+# 1.97e14 FLOP/s. Other chips fall back to the same figure with a note.
+PEAK_BF16_FLOPS = {"v5 lite": 1.97e14, "v5e": 1.97e14,
+                   "v4": 2.75e14, "v5p": 4.59e14, "v6 lite": 9.2e14}
 
 
 def _numpy_reference_epoch(pet_g, mri_g, eps=5e-3):
@@ -50,14 +58,11 @@ def _numpy_reference_epoch(pet_g, mri_g, eps=5e-3):
     return fot_np(x, y, ts, epsilon=eps)
 
 
-def main():
+def bench_coupling():
     import jax
     import jax.numpy as jnp
 
-    from otfusion_tpu.cli.common import enable_compilation_cache
     from otfusion_tpu.train.coupling import coupling_pipeline
-
-    enable_compilation_cache()
 
     rng = np.random.default_rng(0)
     L, cap, d = 2, 64, 2048
@@ -98,25 +103,121 @@ def main():
     cpu_times = []
     for _ in range(2):  # min of 2: robust to ambient host load
         t0 = time.time()
-        tv_np = _numpy_reference_epoch(pet_g, mri_g)
+        _numpy_reference_epoch(pet_g, mri_g)
         cpu_times.append(time.time() - t0)
     cpu_time = min(cpu_times)
 
     # Same problem, comparable answers (both satisfy the same marginals).
     agree = float(np.abs(np.asarray(tv).sum(1) - 1.0 / d).max())
-    speedup = cpu_time / tpu_time
     print(
         f"# TPU coupling: {tpu_time*1000:.0f} ms | CPU-NumPy reference: "
-        f"{cpu_time:.1f} s | speedup {speedup:.1f}x | marginal dev {agree:.1e} "
-        f"| gw iters {np.asarray(gw.n_iters).tolist()} "
+        f"{cpu_time:.1f} s | speedup {cpu_time/tpu_time:.1f}x | marginal "
+        f"dev {agree:.1e} | gw iters {np.asarray(gw.n_iters).tolist()} "
         f"device={jax.devices()[0]}",
         file=sys.stderr,
     )
+    return tpu_time, cpu_time
+
+
+def bench_train_step(depth=101, batch=8, side=128):
+    """Flagship train step (3-token OT-attention fusion, dual 3D
+    ResNet-depth backbones, bf16, remat) at the production shape.
+    Returns (step_seconds, samples_per_s, mfu, flops_per_step)."""
+    import jax
+    import jax.numpy as jnp
+
+    from otfusion_tpu.models import MultimodalOTFusion
+    from otfusion_tpu.models.resnet3d import feature_dim
+    from otfusion_tpu.train import create_train_state
+    from otfusion_tpu.train.steps import make_fusion_train_step
+
+    model = MultimodalOTFusion(
+        num_classes=2, depth=depth, variant="per_epoch_attn",
+        dtype=jnp.bfloat16, remat=True,
+    )
+    d = feature_dim(depth)
+    rng = np.random.default_rng(1)
+    shape = (batch, side, side, side, 1)
+    mri = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    pet = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 2, size=batch))
+    tv = jnp.full((d, d), 1.0 / (d * d), jnp.float32)
+    state = create_train_state(model, jax.random.key(0), (mri, pet), 1e-4,
+                               t_feature=tv)
+    step = make_fusion_train_step(model, donate=True)
+    key = jax.random.key(1)
+
+    # Analytic FLOPs from XLA's own cost model of the lowered step
+    # (covers fwd+bwd+remat+optimiser — exactly what runs).
+    flops = None
+    try:
+        cost = jax.jit(
+            make_fusion_train_step(model, donate=False)
+        ).lower(state, mri, pet, labels, tv, key).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0)) or None
+    except Exception as e:  # cost model unavailable through the tunnel
+        print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
+
+    # Warm-up + honest timing: chain each call's input on the previous
+    # loss (prevents content-cache hits and async pipelining) and fetch
+    # the loss scalar to host (sync point).
+    eps = jnp.float32(0.0)
+    for i in range(3):
+        state, met = step(state, mri * (1.0 + eps), pet, labels, tv,
+                          jax.random.fold_in(key, i))
+        eps = met["loss"] * 1e-9
+    n_runs = 8
+    t0 = time.time()
+    for i in range(n_runs):
+        state, met = step(state, mri * (1.0 + eps), pet, labels, tv,
+                          jax.random.fold_in(key, 10 + i))
+        eps = met["loss"] * 1e-9
+        float(met["loss"])  # host fetch = sync
+    step_s = (time.time() - t0) / n_runs
+
+    kind = getattr(jax.devices()[0], "device_kind", "").lower()
+    peak = next((v for k, v in PEAK_BF16_FLOPS.items() if k in kind),
+                1.97e14)
+    mfu = (flops / step_s / peak) if flops else None
+    print(
+        f"# train step depth{depth} B{batch} @{side}^3 bf16: "
+        f"{step_s*1000:.0f} ms | {batch/step_s:.2f} samples/s | "
+        f"flops/step={flops and f'{flops:.3e}'} | "
+        f"MFU={mfu and f'{mfu:.1%}'} (peak {peak:.2e}, {kind})",
+        file=sys.stderr,
+    )
+    return step_s, batch / step_s, mfu, flops
+
+
+def main():
+    from otfusion_tpu.cli.common import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    tpu_time, cpu_time = bench_coupling()
+    extra = {}
+    if os.environ.get("BENCH_SKIP_TRAIN_STEP") != "1":
+        try:
+            step_s, sps, mfu, flops = bench_train_step()
+            extra = {
+                "train_step_ms": round(step_s * 1000, 1),
+                "train_samples_per_s": round(sps, 2),
+                "train_step_flops": flops,
+                "train_step_mfu": mfu and round(mfu, 4),
+                "train_config": "flagship depth101 B8 128^3 bf16 remat",
+            }
+        except Exception as e:
+            print(f"# train-step bench failed: {e}", file=sys.stderr)
+            extra = {"train_step_error": str(e)[:200]}
+
     print(json.dumps({
         "metric": "per_epoch_ot_coupling_speedup_vs_cpu_numpy",
         "value": round(1.0 / tpu_time, 3),
         "unit": "couplings/s (2x64x2048 EGW + 2048^2 FOT)",
-        "vs_baseline": round(speedup, 2),
+        "vs_baseline": round(cpu_time / tpu_time, 2),
+        **extra,
     }))
 
 

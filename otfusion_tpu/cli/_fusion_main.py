@@ -12,6 +12,7 @@ from otfusion_tpu.cli.common import (
     apply_device_flag,
     resolve_dtype,
     resolve_multimodal_split,
+    resolve_num_devices,
     set_seed,
 )
 
@@ -138,6 +139,8 @@ def fusion_main(
         num_classes=2,
         profile_dir=args.profile_dir,
         resume=args.resume,
+        num_devices=resolve_num_devices(args.num_devices),
+        num_workers=args.num_workers,
         config_lines={
             "Dataset": args.data_dir,
             "Train/Val Split": f"{1 - args.val_fraction:.1%}/"

@@ -19,7 +19,8 @@ def add_common_args(parser: argparse.ArgumentParser, *, epochs: int,
     parser.add_argument("--epochs", type=int, default=epochs)
     parser.add_argument("--batch-size", type=int, default=batch_size)
     parser.add_argument("--num-workers", type=int, default=num_workers,
-                        help="Loader threads (kept for flag parity)")
+                        help="Volume-loading threads (reference DataLoader "
+                             "num_workers parity)")
     parser.add_argument("--lr", type=float, default=lr)
     parser.add_argument("--val-fraction", type=float, default=0.2)
     parser.add_argument("--target-shape", type=int, nargs=3,
@@ -33,6 +34,11 @@ def add_common_args(parser: argparse.ArgumentParser, *, epochs: int,
                              "LR-scheduler state; TPU-native addition)")
     parser.add_argument("--device", type=str, default="tpu",
                         help="Accelerator platform (tpu; cpu for debugging)")
+    parser.add_argument("--num-devices", type=str, default="1",
+                        help="Data-parallel chips: N, or 'auto' for all "
+                             "visible devices (batch shards over a 1-D "
+                             "mesh, gradients all-reduce over ICI; "
+                             "TPU-native addition)")
     parser.add_argument("--max-samples-per-class", type=int, default=None)
     parser.add_argument("--load-patient-ids", type=str, default=None,
                         help="Fixed-split or patient-filter JSON")
@@ -69,6 +75,11 @@ def add_ot_args(parser: argparse.ArgumentParser) -> None:
                              "128^3; TPU-native addition)")
 
 
+def resolve_num_devices(value: str) -> "int | str":
+    """--num-devices: 'auto' passes through, anything else must be an int."""
+    return "auto" if value == "auto" else int(value)
+
+
 def set_seed(seed: int) -> None:
     """Host-side seeding (3D_resnet.py set_seed parity; device randomness
     is keyed explicitly via jax.random)."""
@@ -84,7 +95,22 @@ def resolve_dtype(name: str):
 
 def apply_device_flag(device: str) -> None:
     if device == "cpu":
-        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        # The env var alone is ignored when a platform plugin (the axon
+        # TPU plugin via sitecustomize) self-registers at interpreter
+        # startup and force-sets jax_platforms — update the config
+        # directly, before any backend initialises (ADVICE.md finding 1).
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError as e:  # backend already initialised
+            if "cpu" not in str(jax.devices()[0]).lower():
+                raise RuntimeError(
+                    "--device cpu requested after the JAX backend already "
+                    "initialised on a non-CPU platform; pass the flag "
+                    "before any jax usage or unset PALLAS_AXON_POOL_IPS"
+                ) from e
     enable_compilation_cache()
 
 

@@ -12,6 +12,7 @@ from otfusion_tpu.cli.common import (
     add_common_args,
     apply_device_flag,
     resolve_dtype,
+    resolve_num_devices,
     set_seed,
 )
 
@@ -149,6 +150,8 @@ def main(argv=None):
         dtype=resolve_dtype(args.dtype),
         profile_dir=args.profile_dir,
         resume=args.resume,
+        num_devices=resolve_num_devices(args.num_devices),
+        num_workers=args.num_workers,
         config_lines={
             "Dataset": args.data_dir,
             "Train/Val Split": f"{1 - args.val_fraction:.1%}/"

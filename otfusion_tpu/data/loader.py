@@ -2,11 +2,14 @@
 
 The reference uses torch DataLoader worker processes
 (MRI_PET_OT.py:1023-1036). Here loading is a thread pool over the pure-
-NumPy NIfTI reader, with an LRU cache of preprocessed volumes (the ADNI
-cohort — hundreds of ~128^3 volumes — fits host RAM comfortably once
-resized, so epochs after the first pay zero I/O; cohorts beyond the cache
-cap evict least-recently-used). Loads are synchronous per batch — with
-the cache warm after epoch 1 there is nothing left to overlap.
+NumPy NIfTI reader (``num_workers`` threads, the reference flag), with an
+LRU cache of preprocessed volumes (the ADNI cohort — hundreds of ~128^3
+volumes — fits host RAM comfortably once resized, so epochs after the
+first pay zero I/O; cohorts beyond the cache cap evict least-recently-
+used). The training loops additionally wrap iteration in ``prefetch``,
+assembling the next batch on a background thread while the device
+computes the current step — the cold first epoch overlaps I/O with
+compute instead of serialising them.
 
 Batch shapes are static except the final partial batch, which is yielded
 at its true size (reference DataLoader semantics; losses/metrics stay
@@ -17,23 +20,56 @@ the remainder — both cached across epochs.
 from __future__ import annotations
 
 import concurrent.futures as cf
+import queue
 import random
+import threading
 from collections import OrderedDict
-from typing import Dict, Iterator, List, Sequence, Tuple
+from typing import Dict, Iterable, Iterator, List, Sequence, Tuple
 
 import numpy as np
 
 from otfusion_tpu.data.preprocess import load_volume
 
 
+def prefetch(iterable: Iterable, depth: int = 2) -> Iterator:
+    """Double-buffered iteration: a background thread keeps up to
+    ``depth`` items ready while the consumer works on the current one.
+
+    The worker only touches host NumPy (never jitted/device code — see
+    CLAUDE.md); device dispatch stays on the consuming thread.
+    """
+    q: queue.Queue = queue.Queue(maxsize=max(1, depth))
+    sentinel = object()
+    errors: list[BaseException] = []
+
+    def worker():
+        try:
+            for item in iterable:
+                q.put(item)
+        except BaseException as e:  # surfaced on the consumer thread
+            errors.append(e)
+        finally:
+            q.put(sentinel)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if errors:
+                raise errors[0]
+            return
+        yield item
+
+
 class _VolumeCache:
     """LRU cache of preprocessed volumes with thread-pool loading."""
 
-    def __init__(self, target_shape, max_items: int = 2048):
+    def __init__(self, target_shape, max_items: int = 2048,
+                 num_workers: int = 8):
         self.target_shape = tuple(target_shape)
         self.max_items = max_items
         self._cache: OrderedDict[str, np.ndarray] = OrderedDict()
-        self._pool = cf.ThreadPoolExecutor(max_workers=8)
+        self._pool = cf.ThreadPoolExecutor(max_workers=max(1, num_workers))
 
     def get_many(self, paths: Sequence[str]) -> List[np.ndarray]:
         missing = list({p for p in paths if p not in self._cache})

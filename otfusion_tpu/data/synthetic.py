@@ -43,12 +43,27 @@ def make_synthetic_adni(
     modalities: tuple[str, ...] = ("MRI", "PET"),
     seed: int = 0,
     heterogeneous_shapes: bool = False,
+    class_gap: float = 1.0,
+    noise: float = 0.05,
+    signal_dropout: float = 0.0,
 ) -> Path:
     """Build the fixture tree; returns the root path.
 
     ``heterogeneous_shapes`` varies raw scan shapes per patient (the real
     ADNI tree is anisotropic — get_nii_sizes.py exists because of it), to
     exercise the resize path.
+
+    The "hard cohort" knobs shape the difficulty so architecture
+    differences become measurable (on the default easy cohort every
+    variant saturates at val acc 1.0):
+      * ``class_gap`` scales the AD-vs-CN radius/intensity difference
+        (1.0 = the easy default; ~0.3 leaves heavy class overlap).
+      * ``noise`` is the additive volume noise sigma.
+      * ``signal_dropout`` is the fraction of patients whose scan in ONE
+        modality carries NO class signal (class-neutral blob) —
+        alternating MRI/PET per patient, mirroring real cohorts where one
+        scan is uninformative. A unimodal model caps near
+        1 - dropout/2 while a fusion model can integrate both scans.
     """
     root = Path(root)
     rng = np.random.default_rng(seed)
@@ -70,12 +85,23 @@ def make_synthetic_adni(
                 # modalities of the same patient.
                 pid_rng = np.random.default_rng(seed * 10_000 + ci * 100 + p)
                 center = 0.5 + pid_rng.uniform(-0.1, 0.1, size=3)
-                radius = 0.18 + 0.10 * ci
-                intensity = 1.0 + 0.5 * ci
+                # signal dropout: this patient's MRI (even p) or PET
+                # (odd p) blob is class-neutral.
+                blind = (
+                    pid_rng.uniform() < signal_dropout
+                    and mod == ("MRI" if p % 2 == 0 else "PET")
+                )
+                eff = 0.5 if blind else float(ci)
+                radius = 0.18 + 0.10 * class_gap * eff
+                intensity = 1.0 + 0.5 * class_gap * eff
                 vol = intensity * _blob(s, center, radius, rng)
                 if mod == "PET":
                     vol = 0.8 * vol + 0.2 * _blob(s, center, radius * 1.5, rng)
-                vol = vol + 0.05 * rng.normal(size=s).astype(np.float32)
+                # patient-specific nuisance structure (shared across the
+                # patient's modalities in position, not amplitude).
+                nuis_center = 0.5 + pid_rng.uniform(-0.3, 0.3, size=3)
+                vol = vol + 0.4 * _blob(s, nuis_center, 0.08, rng)
+                vol = vol + noise * rng.normal(size=s).astype(np.float32)
                 scan_dir = class_dir / pid / "scan"
                 scan_dir.mkdir(parents=True, exist_ok=True)
                 suffix = "_AV45.nii" if mod == "PET" else "_MR.nii.gz"

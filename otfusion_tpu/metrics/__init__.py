@@ -11,12 +11,16 @@ from otfusion_tpu.metrics.calibration import (
     aupr_error,
     negative_log_likelihood,
     brier_score,
+    predictive_entropy,
+    entropy_decomposition,
     uncertainty_metrics,
 )
 from otfusion_tpu.metrics.ot_quality import (
     foscttm,
     diag_fraction,
     relative_mse,
+    knn_coupling,
+    knn_couplings_per_label,
 )
 
 __all__ = [
@@ -29,7 +33,11 @@ __all__ = [
     "negative_log_likelihood",
     "brier_score",
     "uncertainty_metrics",
+    "predictive_entropy",
+    "entropy_decomposition",
     "foscttm",
     "diag_fraction",
     "relative_mse",
+    "knn_coupling",
+    "knn_couplings_per_label",
 ]

@@ -93,6 +93,56 @@ def brier_score(probs: np.ndarray, labels: np.ndarray) -> float:
     return float(np.sum((probs - onehot) ** 2, axis=1).mean())
 
 
+def predictive_entropy(logits: np.ndarray, from_probs: bool = False,
+                       skip_first_class: bool = False) -> np.ndarray:
+    """Per-sample normalised predictive entropy
+    H(p)/log(C) in [0, 1] (reference Uentropy/Uentropy_our,
+    metrics.py:101-129; dead code there, live here as the ensemble's
+    uncertainty score).
+
+    ``from_probs`` mirrors Uentropy_our (inputs already probabilities —
+    e.g. the ensemble's averaged member softmax). ``skip_first_class``
+    reproduces the reference's slice ``u_all[:, 1:]`` which silently
+    drops class 0's entropy contribution — off by default (quirk
+    normalised, kept available for strict reproduction)."""
+    x = np.asarray(logits, np.float64)
+    if from_probs:
+        p = x / np.maximum(x.sum(axis=1, keepdims=True), 1e-30)
+    else:
+        p = _softmax(x)
+    c = p.shape[1]
+    u = -p * np.log(np.maximum(p, 1e-30)) / np.log(c)
+    if skip_first_class:
+        u = u[:, 1:]
+    return u.sum(axis=1)
+
+
+def entropy_decomposition(
+    member_probs: np.ndarray,
+) -> Dict[str, np.ndarray]:
+    """Deep-ensemble uncertainty decomposition over ``member_probs`` of
+    shape (n_members, n_samples, n_classes):
+
+      total (predictive entropy of the mean) =
+        aleatoric (mean of member entropies) + epistemic (mutual
+        information between prediction and member identity).
+
+    The reference's ensemble driver reports only scalar calibration
+    metrics; this is the standard decomposition its Uentropy scaffolding
+    (metrics.py:101-129) points toward."""
+    p = np.asarray(member_probs, np.float64)
+    mean_p = p.mean(axis=0)
+    total = predictive_entropy(mean_p, from_probs=True)
+    aleatoric = np.stack(
+        [predictive_entropy(m, from_probs=True) for m in p]
+    ).mean(axis=0)
+    return {
+        "total": total,
+        "aleatoric": aleatoric,
+        "epistemic": total - aleatoric,
+    }
+
+
 def uncertainty_metrics(
     logits: np.ndarray, labels: np.ndarray
 ) -> Dict[str, float]:
@@ -110,4 +160,5 @@ def uncertainty_metrics(
         "fpr_at_95_tpr": fpr_at_95_tpr(probs, labels),
         "nll": negative_log_likelihood(logits, labels),
         "brier": brier_score(probs, labels),
+        "mean_entropy": float(predictive_entropy(logits).mean()),
     }

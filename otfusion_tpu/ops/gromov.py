@@ -153,7 +153,11 @@ def entropic_gw(
     Outer convergence is *relative*: ``||T - T_prev||_F / ||T||_F <
     threshold`` (OTT's GW threshold semantics; an absolute criterion
     below ~1e-5 sits under the fp32 floor and burns the full iteration
-    budget without converging).
+    budget without converging). Quantified against a float64
+    reference-settings run on production-shaped 64x2048 clouds
+    (docs/gw_early_exit.md, `scripts/quantify_gw_early_exit.py`):
+    plan L1 distance <= 2.6e-3, |d diag-frac| <= 1.7e-4,
+    |d FOSCTTM| <= 2.5e-4 — metrically indistinguishable.
 
     ``epsilon`` is relative to the max-scaled self-cost matrices, matching
     the reference's OTT setup (scale_cost="max_cost", eps default 5e-3,

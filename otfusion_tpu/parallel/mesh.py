@@ -32,6 +32,22 @@ def make_mesh(devices: Sequence | None = None, axis: str = DATA_AXIS) -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def resolve_mesh(num_devices: int | str | None) -> Mesh | None:
+    """Trainer-facing mesh policy: ``1``/``None`` = single device (no
+    mesh), ``0`` or ``"auto"`` = all visible devices, N = first N.
+    Returns None when only one device would participate."""
+    if num_devices in (None, 1):
+        return None
+    devices = jax.devices()
+    n = len(devices) if num_devices in (0, "auto") else int(num_devices)
+    if n > len(devices):
+        raise ValueError(
+            f"--num-devices {n} requested but only {len(devices)} visible")
+    if n <= 1:
+        return None
+    return make_mesh(devices[:n])
+
+
 def make_2d_mesh(
     data: int,
     model: int,
@@ -101,6 +117,155 @@ def make_sharded_fusion_train_step(model, mesh: Mesh, **step_kwargs):
         )
 
     return step, place_batch
+
+
+def place_replicated(tree, mesh: Mesh):
+    """Replicate a pytree (train state, coupling, rng key) over the mesh."""
+    rep = replicated(mesh)
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, rep), tree)
+
+
+def _dp_wrap(raw, mesh: Mesh, batch_ndims: Sequence[int], n_rest: int,
+             donate: bool = False):
+    """jit ``raw(state, *batch_arrays, *rest)`` for data parallelism.
+
+    Batch arrays shard on dim 0, state and the ``n_rest`` trailing args
+    replicate; XLA's SPMD partitioner inserts the gradient all-reduce.
+    Semantics are identical to the single-device step (GSPMD is
+    semantics-preserving), so losses/metrics/BatchNorm stats match the
+    unsharded trainer modulo reduction order.
+
+    The loader's final partial batch usually does not divide the mesh —
+    in_shardings reject uneven dims — so a second, batch-replicated jit
+    handles it (one redundant batch per epoch, numerics unchanged).
+
+    The returned step accepts host numpy batches; trailing args are
+    device_put to the replicated sharding (no-op when already placed).
+    """
+    rep = replicated(mesh)
+    donate_args = (0,) if donate else ()
+    main = jax.jit(
+        raw,
+        in_shardings=(rep, *[batch_sharded(mesh, nd) for nd in batch_ndims],
+                      *[rep] * n_rest),
+        donate_argnums=donate_args,
+    )
+    fallback = jax.jit(
+        raw,
+        in_shardings=(rep, *[rep] * (len(batch_ndims) + n_rest)),
+        donate_argnums=donate_args,
+    )
+    n_dev = mesh.devices.size
+    n_batch = len(batch_ndims)
+
+    def step(state, *args):
+        batch = tuple(np.asarray(a) for a in args[:n_batch])
+        rest = tuple(None if a is None else jax.device_put(a, rep)
+                     for a in args[n_batch:])
+        fn = main if batch[0].shape[0] % n_dev == 0 else fallback
+        return fn(state, *batch, *rest)
+
+    return step
+
+
+def make_dp_fusion_steps(model, mesh: Mesh, **train_kwargs):
+    """The fusion trainer's full step family, data-parallel over ``mesh``:
+    (train_step, eval_step, feature_extract_step), all drop-in compatible
+    with the single-device factories in train/steps.py. The caller places
+    the state once with ``place_replicated``."""
+    from otfusion_tpu.train.steps import (
+        make_feature_extract_step,
+        make_fusion_eval_step,
+        make_fusion_train_step,
+    )
+
+    train_raw = make_fusion_train_step(model, jit=False, **train_kwargs)
+    eval_raw = make_fusion_eval_step(model, jit=False)
+    feat_raw = make_feature_extract_step(model, jit=False)
+    # (state, mri, pet, labels, tv, rng) / (…, tv) / (state, mri, pet)
+    return (
+        _dp_wrap(train_raw, mesh, (5, 5, 1), 2, donate=True),
+        _dp_wrap(eval_raw, mesh, (5, 5, 1), 1),
+        _dp_wrap(feat_raw, mesh, (5, 5), 0),
+    )
+
+
+def make_dp_unimodal_steps(model, mesh: Mesh):
+    """(train_step, eval_step) for the unimodal trainer, DP over ``mesh``."""
+    from otfusion_tpu.train.steps import (
+        make_unimodal_eval_step,
+        make_unimodal_train_step,
+    )
+
+    train_raw = make_unimodal_train_step(model, jit=False)
+    eval_raw = make_unimodal_eval_step(model, jit=False)
+    # (state, vol, labels, rng) / (state, vol, labels)
+    return (
+        _dp_wrap(train_raw, mesh, (5, 1), 1, donate=True),
+        _dp_wrap(eval_raw, mesh, (5, 1), 0),
+    )
+
+
+def make_sharded_coupling_pipeline(mesh: Mesh, axis: str = DATA_AXIS):
+    """The per-epoch EGW+FOT coupling pipeline, sharded over the mesh.
+
+    Sharding layout (the design promised by this module's docstring):
+      * label groups (L, cap, d) shard the FEATURE axis d — the per-label
+        GW cost builds (x xᵀ over d) contract the sharded dim, so XLA
+        emits a psum over ICI and every chip holds a (cap, d/n) slice;
+      * the (d_pet, d_mri) FOT cost matrix and its Sinkhorn solve shard
+        by ROWS: the row-logsumexp is chip-local, the column-logsumexp
+        becomes an all-reduce, both inserted by the SPMD partitioner;
+      * the returned feature plan Tv stays row-sharded on device — the
+        DP train step re-places (all-gathers) it lazily on first use.
+
+    Requires d % n_devices == 0 (true at production: 2048 over 8); the
+    caller (CouplingService) falls back to the replicated pipeline
+    otherwise.
+    """
+    from otfusion_tpu.train.coupling import coupling_pipeline_impl
+
+    feat = NamedSharding(mesh, P(None, None, axis))
+    rep = NamedSharding(mesh, P())
+    row = NamedSharding(mesh, P(axis, None))
+    n_dev = mesh.devices.size
+
+    # pjit rejects kwargs when in_shardings is set, and the impl's
+    # config args are keyword-only — shim them to positional statics.
+    def _positional(pet_g, mri_g, pet_m, mri_m, epsilon,
+                    gw_max_iterations, sinkhorn_max_iterations,
+                    fot_epsilon, fot_max_iterations):
+        return coupling_pipeline_impl(
+            pet_g, mri_g, pet_m, mri_m, epsilon=epsilon,
+            gw_max_iterations=gw_max_iterations,
+            sinkhorn_max_iterations=sinkhorn_max_iterations,
+            fot_epsilon=fot_epsilon,
+            fot_max_iterations=fot_max_iterations)
+
+    jitted = jax.jit(
+        _positional,
+        static_argnums=(4, 5, 6, 7, 8),
+        in_shardings=(feat, feat, rep, rep),
+        # Pin only Tv's layout (row-sharded); solver logs replicate.
+        out_shardings=(row, rep, rep),
+    )
+
+    def pipeline(pet_groups, mri_groups, pet_mask, mri_mask, *,
+                 epsilon=5e-3, gw_max_iterations=2000,
+                 sinkhorn_max_iterations=2000, fot_epsilon=5e-3,
+                 fot_max_iterations=2000):
+        if pet_groups.shape[-1] % n_dev or mri_groups.shape[-1] % n_dev:
+            raise ValueError(
+                f"feature dims {pet_groups.shape[-1]}/"
+                f"{mri_groups.shape[-1]} not divisible by mesh size "
+                f"{n_dev}")
+        return jitted(np.asarray(pet_groups), np.asarray(mri_groups),
+                      np.asarray(pet_mask), np.asarray(mri_mask),
+                      epsilon, gw_max_iterations,
+                      sinkhorn_max_iterations, fot_epsilon,
+                      fot_max_iterations)
+
+    return pipeline
 
 
 def make_dp_tp_fusion_train_step(model, mesh: Mesh, **step_kwargs):

@@ -18,7 +18,6 @@ TPU-native differences from the reference:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Iterable
 
 import jax
@@ -51,14 +50,13 @@ def group_and_pad(
     return out, mask
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "epsilon", "gw_max_iterations", "sinkhorn_max_iterations",
-        "fot_epsilon", "fot_max_iterations",
-    ),
+COUPLING_STATIC_ARGNAMES = (
+    "epsilon", "gw_max_iterations", "sinkhorn_max_iterations",
+    "fot_epsilon", "fot_max_iterations",
 )
-def coupling_pipeline(
+
+
+def coupling_pipeline_impl(
     pet_groups: jnp.ndarray,   # (L, cap, d_pet)
     mri_groups: jnp.ndarray,   # (L, cap, d_mri)
     pet_mask: jnp.ndarray,     # (L, cap)
@@ -115,6 +113,14 @@ def coupling_pipeline(
     return fot_res.coupling, gw, fot_res
 
 
+# Single-device entry point (the DP-sharded variant lives in
+# parallel/mesh.py:make_sharded_coupling_pipeline, jitting the same impl
+# with feature-dim in_shardings).
+coupling_pipeline = jax.jit(
+    coupling_pipeline_impl, static_argnames=COUPLING_STATIC_ARGNAMES
+)
+
+
 class CouplingService:
     """Owns the jitted feature-extract + coupling pipeline across epochs."""
 
@@ -127,6 +133,7 @@ class CouplingService:
         gw_max_iterations: int = 2000,
         sinkhorn_max_iterations: int = 2000,
         fot_epsilon: float = 5e-3,
+        mesh=None,
     ):
         self.feature_extract_step = feature_extract_step
         self.n_labels = n_labels
@@ -135,6 +142,12 @@ class CouplingService:
         self.gw_max_iterations = gw_max_iterations
         self.sinkhorn_max_iterations = sinkhorn_max_iterations
         self.fot_epsilon = fot_epsilon
+        self.mesh = mesh
+        self._pipeline = coupling_pipeline
+        if mesh is not None:
+            from otfusion_tpu.parallel import make_sharded_coupling_pipeline
+
+            self._pipeline = make_sharded_coupling_pipeline(mesh)
         self.last_log: dict = {}
 
     def compute(self, state, batches: Iterable) -> jnp.ndarray:
@@ -153,9 +166,17 @@ class CouplingService:
         mri_g, mri_m = group_and_pad(mri_all, y, self.n_labels, self.cap)
         pet_g, pet_m = group_and_pad(pet_all, y, self.n_labels, self.cap)
 
-        tv, gw, fot_res = coupling_pipeline(
-            jnp.asarray(pet_g), jnp.asarray(mri_g),
-            jnp.asarray(pet_m), jnp.asarray(mri_m),
+        # Host numpy in: the pipeline's in_shardings place the groups
+        # (feature-dim sharded over the mesh in the DP path; falls back
+        # to the replicated pipeline when d doesn't divide the mesh).
+        pipeline = self._pipeline
+        if self.mesh is not None and (
+            pet_g.shape[-1] % self.mesh.devices.size
+            or mri_g.shape[-1] % self.mesh.devices.size
+        ):
+            pipeline = coupling_pipeline
+        tv, gw, fot_res = pipeline(
+            pet_g, mri_g, pet_m, mri_m,
             epsilon=self.epsilon,
             gw_max_iterations=self.gw_max_iterations,
             sinkhorn_max_iterations=self.sinkhorn_max_iterations,

@@ -12,7 +12,10 @@ from typing import Callable, Dict, List, Sequence
 
 import numpy as np
 
-from otfusion_tpu.metrics.calibration import uncertainty_metrics
+from otfusion_tpu.metrics.calibration import (
+    entropy_decomposition,
+    uncertainty_metrics,
+)
 
 
 def _softmax(logits):
@@ -69,6 +72,16 @@ def evaluate_ensemble(
         {f"ens_{k}": v for k, v in uncertainty_metrics(log_probs,
                                                        labels).items()}
     )
+    # Predictive-entropy decomposition over the members (total =
+    # aleatoric + epistemic; reference metrics.py:101-129 scaffolding).
+    decomp = entropy_decomposition(
+        np.stack([_softmax(np.asarray(l)) for l in member_logits])
+    )
+    metrics.update({
+        "entropy_total": float(decomp["total"].mean()),
+        "entropy_aleatoric": float(decomp["aleatoric"].mean()),
+        "entropy_epistemic": float(decomp["epistemic"].mean()),
+    })
     return metrics
 
 

@@ -32,7 +32,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from otfusion_tpu.data.loader import Loader, MultimodalLoader, _VolumeCache
+from otfusion_tpu.data.loader import (
+    Loader,
+    MultimodalLoader,
+    _VolumeCache,
+    prefetch,
+)
 from otfusion_tpu.metrics.classification import classification_metrics
 from otfusion_tpu.models import MultimodalOTFusion, ResNet3DClassifier
 from otfusion_tpu.train.coupling import CouplingService
@@ -97,11 +102,13 @@ class _MaybeProfile:
 
 def _run_train_epoch(train_step, state, loader, extra_args, rng_base):
     total_loss, total_correct, total_n = 0.0, 0, 0
-    for i, batch in enumerate(loader):
-        arrays = tuple(jnp.asarray(a) for a in batch)
+    # Batches stay host numpy: the jitted step transfers them under its
+    # own in_shardings (sharded over the mesh in the DP path). prefetch
+    # assembles batch i+1 on a background thread while step i computes.
+    for i, batch in enumerate(prefetch(iter(loader))):
         rng = jax.random.fold_in(rng_base, i)
-        state, met = train_step(state, *arrays, *extra_args, rng)
-        n = int(arrays[-1].shape[0])
+        state, met = train_step(state, *batch, *extra_args, rng)
+        n = int(batch[-1].shape[0])
         total_loss += float(met["loss"]) * n
         total_correct += int(met["correct"])
         total_n += n
@@ -114,8 +121,8 @@ def _run_eval_epoch(eval_step, state, loader, extra_args,
     preds: List[int] = []
     targets: List[int] = []
     logits_all = []
-    for batch in loader:
-        arrays = tuple(jnp.asarray(a) for a in batch)
+    for batch in prefetch(iter(loader)):
+        arrays = batch
         out = eval_step(state, *arrays, *extra_args)
         n = int(arrays[-1].shape[0])
         total_loss += float(out["loss"]) * n
@@ -163,6 +170,8 @@ def run_fusion_training(
     progress: bool = True,
     profile_dir: Optional[str] = None,
     resume: bool = False,
+    num_devices: int | str = 1,
+    num_workers: int = 8,
 ) -> Dict[str, object]:
     if not len(val_idx) or not len(train_idx):
         raise ValueError(
@@ -172,7 +181,17 @@ def run_fusion_training(
     results_file = os.path.join(save_path, "results.txt")
     model_dir = os.path.join(save_path, "best_model")
 
-    cache = _VolumeCache(target_shape)
+    # Data-parallel mesh over the first N chips (``0``/"auto" = all).
+    # GSPMD is semantics-preserving, so every number below (losses,
+    # metrics, BatchNorm stats) matches the single-device trainer.
+    from otfusion_tpu.parallel import place_replicated, resolve_mesh
+
+    mesh = resolve_mesh(num_devices)
+
+    def _place(s):
+        return place_replicated(s, mesh) if mesh is not None else s
+
+    cache = _VolumeCache(target_shape, num_workers=num_workers)
     train_samples = [samples[i] for i in train_idx]
     val_samples = [samples[i] for i in val_idx]
     train_loader = MultimodalLoader(
@@ -226,33 +245,48 @@ def run_fusion_training(
         lr, optimizer="adamw", t_feature=init_tv,
     )
     if mri_pretrained:
-        state = restore_backbone(state, mri_pretrained, "mri_backbone")
+        state = restore_backbone(state, mri_pretrained, "mri_backbone",
+                                 depth=model_depth)
     if pet_pretrained:
-        state = restore_backbone(state, pet_pretrained, "pet_backbone")
+        state = restore_backbone(state, pet_pretrained, "pet_backbone",
+                                 depth=model_depth)
+    state = _place(state)
 
-    train_step = make_fusion_train_step(
-        model,
-        in_batch_fot=(variant == "base"),
-        fot_epsilon=1e-3,
-        # Donate the input state: the old parameter/optimiser buffers are
-        # freed during the step — at depth-101/128^3/B8 that headroom is
-        # the difference between fitting HBM and ResourceExhausted.
-        donate=True,
-    )
-    eval_step = make_fusion_eval_step(model)
+    if mesh is not None:
+        from otfusion_tpu.parallel import make_dp_fusion_steps
+
+        train_step, eval_step, feat_step = make_dp_fusion_steps(
+            model, mesh,
+            in_batch_fot=(variant == "base"),
+            fot_epsilon=1e-3,
+        )
+    else:
+        train_step = make_fusion_train_step(
+            model,
+            in_batch_fot=(variant == "base"),
+            fot_epsilon=1e-3,
+            # Donate the input state: the old parameter/optimiser buffers
+            # are freed during the step — at depth-101/128^3/B8 that
+            # headroom is the difference between fitting HBM and
+            # ResourceExhausted.
+            donate=True,
+        )
+        eval_step = make_fusion_eval_step(model)
+        feat_step = make_feature_extract_step(model)
     svc = None
     # Only the flagship consumes a per-epoch coupling; the base variant
     # solves in-batch inside its train step and its per-epoch eval
     # coupling is provably inert (see the note in the epoch loop).
     if variant == "per_epoch_attn":
         svc = CouplingService(
-            make_feature_extract_step(model),
+            feat_step,
             n_labels=num_classes,
             max_samples_per_label=max_jax_samples,
             epsilon=ot_epsilon,
             gw_max_iterations=gw_max_iterations,
             sinkhorn_max_iterations=sinkhorn_max_iterations,
             fot_epsilon=ot_epsilon,
+            mesh=mesh,
         )
 
     writer = ResultsWriter(
@@ -271,8 +305,8 @@ def run_fusion_training(
     latest_dir = os.path.join(save_path, "latest")
     if resume and os.path.isdir(latest_dir):
         meta = load_metadata(latest_dir) or {}
-        state = restore_checkpoint(latest_dir, state,
-                                   include_opt_state=True)
+        state = _place(restore_checkpoint(latest_dir, state,
+                                          include_opt_state=True))
         start_epoch = int(meta.get("epoch", 0)) + 1
         best_val_loss = float(meta.get("best_val_loss", float("inf")))
         best_summary = meta.get("best_summary")
@@ -349,7 +383,7 @@ def run_fusion_training(
     writer.summary(best_val_loss, best_summary, model_dir)
 
     # Best-model final evaluation + artifacts (attn:1316-1356).
-    state = restore_checkpoint(model_dir, state)
+    state = _place(restore_checkpoint(model_dir, state))
     final_tv = compute_tv() if needs_tv else None
     _, _, preds, targets, logits = _run_eval_epoch(
         eval_step, state, val_loader, (final_tv,), collect_logits=True,
@@ -390,6 +424,8 @@ def run_unimodal_training(
     progress: bool = True,
     profile_dir: Optional[str] = None,
     resume: bool = False,
+    num_devices: int | str = 1,
+    num_workers: int = 8,
 ) -> Dict[str, object]:
     if not len(val_idx) or not len(train_idx):
         raise ValueError(
@@ -400,7 +436,14 @@ def run_unimodal_training(
     model_dir = os.path.join(save_path, "best_model")
     num_classes = len(class_names)
 
-    cache = _VolumeCache(target_shape)
+    from otfusion_tpu.parallel import place_replicated, resolve_mesh
+
+    mesh = resolve_mesh(num_devices)
+
+    def _place(s):
+        return place_replicated(s, mesh) if mesh is not None else s
+
+    cache = _VolumeCache(target_shape, num_workers=num_workers)
     train_loader = Loader(
         [samples[i] for i in train_idx], target_shape, batch_size,
         shuffle=True, augment=augment, seed=seed, cache=cache,
@@ -417,8 +460,14 @@ def run_unimodal_training(
         model, jax.random.key(seed), (jnp.asarray(vol0),), lr,
         optimizer="adam",
     )
-    train_step = make_unimodal_train_step(model, donate=True)
-    eval_step = make_unimodal_eval_step(model)
+    state = _place(state)
+    if mesh is not None:
+        from otfusion_tpu.parallel import make_dp_unimodal_steps
+
+        train_step, eval_step = make_dp_unimodal_steps(model, mesh)
+    else:
+        train_step = make_unimodal_train_step(model, donate=True)
+        eval_step = make_unimodal_eval_step(model)
 
     writer = ResultsWriter(results_file, results_title, config_lines or {},
                            style="unimodal", append=resume)
@@ -430,8 +479,8 @@ def run_unimodal_training(
     latest_dir = os.path.join(save_path, "latest")
     if resume and os.path.isdir(latest_dir):
         meta = load_metadata(latest_dir) or {}
-        state = restore_checkpoint(latest_dir, state,
-                                   include_opt_state=True)
+        state = _place(restore_checkpoint(latest_dir, state,
+                                          include_opt_state=True))
         start_epoch = int(meta.get("epoch", 0)) + 1
         best_val_loss = float(meta.get("best_val_loss", float("inf")))
         best_summary = meta.get("best_summary")
@@ -484,10 +533,10 @@ def run_unimodal_training(
 
     # Best-model artifacts: confusion matrix + t-SNE of pooled features
     # (3D_resnet.py:1016-1047).
-    state = restore_checkpoint(model_dir, state)
+    state = _place(restore_checkpoint(model_dir, state))
     feats_all, preds, targets = [], [], []
     for batch in val_loader:
-        arrays = tuple(jnp.asarray(a) for a in batch)
+        arrays = batch
         out = eval_step(state, *arrays)
         preds.extend(np.asarray(out["preds"]).tolist())
         targets.extend(np.asarray(arrays[-1]).tolist())

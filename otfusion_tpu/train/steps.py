@@ -99,7 +99,7 @@ def make_fusion_train_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def make_fusion_eval_step(model) -> Callable:
+def make_fusion_eval_step(model, jit: bool = True) -> Callable:
     use_ot_loss = model.variant in ("per_epoch_attn", "base")
 
     def step(state: FusionTrainState, mri, pet, labels, t_feature):
@@ -121,10 +121,10 @@ def make_fusion_eval_step(model) -> Callable:
             "correct": jnp.sum(preds == labels),
         }
 
-    return jax.jit(step)
+    return jax.jit(step) if jit else step
 
 
-def make_feature_extract_step(model) -> Callable:
+def make_feature_extract_step(model, jit: bool = True) -> Callable:
     """Backbone-only forward for the per-epoch coupling service
     (reference feature_extract, attn:889-914)."""
 
@@ -150,10 +150,11 @@ def make_feature_extract_step(model) -> Callable:
             run(pet_backbone, "pet_backbone", pet),
         )
 
-    return jax.jit(step)
+    return jax.jit(step) if jit else step
 
 
-def make_unimodal_train_step(model, donate: bool = True) -> Callable:
+def make_unimodal_train_step(model, donate: bool = True,
+                             jit: bool = True) -> Callable:
     """CE-only train step for ResNet3DClassifier (3D_resnet.py:477-513)."""
 
     def step(state: FusionTrainState, vol, labels, rng):
@@ -173,10 +174,12 @@ def make_unimodal_train_step(model, donate: bool = True) -> Callable:
             "correct": jnp.sum(jnp.argmax(logits, -1) == labels),
         }
 
+    if not jit:
+        return step
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def make_unimodal_eval_step(model) -> Callable:
+def make_unimodal_eval_step(model, jit: bool = True) -> Callable:
     def step(state: FusionTrainState, vol, labels):
         (logits, feats), _ = _apply(
             model, state.params, state.batch_stats, vol, train=False
@@ -190,4 +193,4 @@ def make_unimodal_eval_step(model) -> Callable:
             "correct": jnp.sum(preds == labels),
         }
 
-    return jax.jit(step)
+    return jax.jit(step) if jit else step

@@ -46,9 +46,18 @@ def make_optimizer(
 
 
 def set_learning_rate(state: FusionTrainState, lr: float) -> FusionTrainState:
-    """Overwrite the injected learning rate in-place (functionally)."""
+    """Overwrite the injected learning rate in-place (functionally).
+
+    The new scalar keeps the old leaf's sharding so a mesh-replicated
+    state stays consistently placed (a host-created single-device leaf
+    inside an otherwise replicated tree would break the DP step's
+    in_shardings contract)."""
     opt_state = state.opt_state
-    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    old = opt_state.hyperparams["learning_rate"]
+    new = jnp.asarray(lr, jnp.float32)
+    if hasattr(old, "sharding"):
+        new = jax.device_put(new, old.sharding)
+    opt_state.hyperparams["learning_rate"] = new
     return state.replace(opt_state=opt_state)
 
 

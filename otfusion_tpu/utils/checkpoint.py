@@ -136,13 +136,27 @@ def restore_backbone(
     backbone_ckpt_dir: str | Path,
     target_module: str,
     source_module: str = "backbone",
+    depth: int | None = None,
 ):
     """Graft a pretrained classifier's backbone into a fusion state.
 
     ``backbone_ckpt_dir`` holds a ResNet3DClassifier checkpoint (whose
     backbone lives under ``source_module``); its parameters and batch
     stats replace ``state.params[target_module]`` (e.g. "mri_backbone").
+
+    A ``.pth``/``.pt`` path instead imports reference-trained torch
+    weights (partial intersect-keys graft, generate_model.py:112-125 /
+    attn:509-511 semantics) — ``depth`` must then be given to resolve the
+    block layout.
     """
+    if str(backbone_ckpt_dir).endswith((".pth", ".pt")):
+        from otfusion_tpu.utils.torch_import import graft_torch_resnet3d
+
+        if depth is None:
+            raise ValueError(
+                "restoring from a torch .pth requires the backbone depth")
+        return graft_torch_resnet3d(state, backbone_ckpt_dir,
+                                    target_module, depth)
     directory = Path(backbone_ckpt_dir).resolve()
     ckptr = ocp.StandardCheckpointer()
     restored = ckptr.restore(directory)  # raw pytree, no target
