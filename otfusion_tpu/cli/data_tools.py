@@ -11,9 +11,11 @@ Subcommands (one CLI replacing the reference's script pile):
   cleanup     delete non-NIfTI leftovers under a tree
               (cleanup_files.py) — dry-run by default
   convert     DICOM -> NIfTI via the dcm2niix binary
-              (convert_dcm2nii.py / batch_convert_dcm2nii.py); errors
-              with guidance when dcm2niix is unavailable (this image
-              ships neither dcm2niix nor pydicom)
+              (convert_dcm2nii.py / batch_convert_dcm2nii.py), falling
+              back to the native pure-NumPy DICOM reader
+              (data/dicom_io.py) when dcm2niix is unavailable — the
+              reference's pydicom+nibabel fallback path
+              (convert_dcm2nii.py:35-60), reimplemented natively
 
 All host-side; no device work.
 """
@@ -129,13 +131,16 @@ def cmd_cleanup(args):
 
 
 def cmd_convert(args):
-    binary = shutil.which("dcm2niix")
+    # dcm2niix when available (reference convert_dcm2nii.py primary
+    # path); otherwise the native pure-NumPy reader stands in for the
+    # reference's pydicom+nibabel fallback (convert_dcm2nii.py:35-60).
+    binary = None if args.native else shutil.which("dcm2niix")
     if binary is None:
-        raise SystemExit(
-            "dcm2niix not found on PATH (and pydicom is not installed in "
-            "this image). Install dcm2niix, or convert offline and point "
-            "--data-dir at the NIfTI tree."
-        )
+        from otfusion_tpu.data.dicom_io import convert_dicom_dir_to_nifti
+
+        print("dcm2niix not on PATH — using the native DICOM reader "
+              "(uncompressed little-endian series only)"
+              if not args.native else "native DICOM reader (--native)")
     # Reference layout: subject/scan_type/date/image_id/*.dcm
     # (batch_convert_dcm2nii.py:16-67): convert per leaf directory.
     converted = 0
@@ -144,10 +149,14 @@ def cmd_convert(args):
             rel = Path(dirpath).relative_to(args.input)
             out_dir = Path(args.output) / rel
             out_dir.mkdir(parents=True, exist_ok=True)
-            subprocess.run(
-                [binary, "-z", "y", "-o", str(out_dir), dirpath],
-                check=True,
-            )
+            if binary is not None:
+                subprocess.run(
+                    [binary, "-z", "y", "-o", str(out_dir), dirpath],
+                    check=True,
+                )
+            else:
+                convert_dicom_dir_to_nifti(
+                    dirpath, out_dir / (Path(dirpath).name + ".nii.gz"))
             converted += 1
     print(f"Converted {converted} DICOM series")
 
@@ -181,7 +190,12 @@ def main(argv=None):
                    default=True)
     p.set_defaults(fn=cmd_cleanup)
 
-    p = sub.add_parser("convert", help="DICOM -> NIfTI via dcm2niix")
+    p = sub.add_parser("convert",
+                       help="DICOM -> NIfTI via dcm2niix, with a native "
+                            "pure-NumPy fallback reader")
+    p.add_argument("--native", action="store_true",
+                   help="Force the native reader even when dcm2niix "
+                        "is installed")
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
     p.set_defaults(fn=cmd_convert)
