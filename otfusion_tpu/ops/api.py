@@ -39,6 +39,8 @@ __all__ = [
     "get_coupling_leot_ott",
     "get_coupling_cotl",
     "get_coupling_cotl_sinkhorn",
+    "get_coupling_cot_sinkhorn",
+    "get_coupling_each_cot_sinkhorn",
     "get_coupling_gw_cg",
     "get_coupling_egw_pgd",
     "get_coupling_gw_all",
@@ -215,6 +217,50 @@ def _cotl_wrapper(data, eps, feature_eps=None):
         "time": time.time() - start,
         "Tv": np.asarray(res.feature_coupling),
     }
+    return ts, log
+
+
+def get_coupling_cot_sinkhorn(
+    data: Tuple[Dict, Dict], eps: float = 0.2,
+) -> Tuple[np.ndarray, Dict]:
+    """Unlabelled entropic CO-Optimal Transport — the eval harness's
+    "ECOOT" method (registry cv_inner_loop.py:62). The reference imports
+    it from ``perturbot.match.cot``, a module absent from the repository;
+    reconstructed as COOT over the label-concatenated clouds (one global
+    sample coupling + one feature coupling), i.e. the COOT-L solver with a
+    single group."""
+    x_dict, y_dict = data
+    _, x, y, _, _ = _concat_dicts(x_dict, y_dict)
+    start = time.time()
+    res = cotl(
+        jnp.asarray(x)[None], jnp.asarray(y)[None],
+        jnp.ones((1, x.shape[0]), bool), jnp.ones((1, y.shape[0]), bool),
+        epsilon=eps, feature_epsilon=eps,
+    )
+    log = {
+        "cost": [float(res.cost)],
+        "n_iters": int(res.n_iters),
+        "converged": bool(res.converged),
+        "time": time.time() - start,
+        "Tv": np.asarray(res.feature_coupling),
+    }
+    return np.asarray(res.sample_couplings[0]), log
+
+
+def get_coupling_each_cot_sinkhorn(
+    data: Tuple[Dict, Dict], eps: float = 0.2,
+) -> Tuple[Dict, Dict]:
+    """Per-label *independent* entropic COOT — the harness's "ECOOT_each"
+    (registry cv_inner_loop.py:61): each label solves its own COOT with
+    its own feature coupling (unlike COOT-L, where Tv is shared). Also
+    reconstructed (``perturbot.match.cot`` is absent upstream). Labels
+    run as separate single-group solves because each owns a distinct Tv."""
+    x_dict, y_dict = data
+    ts, log = {}, {}
+    for l in sorted(x_dict.keys()):
+        t, lg = get_coupling_cot_sinkhorn(({0: x_dict[l]}, {0: y_dict[l]}), eps)
+        ts[l] = t
+        log[l] = lg
     return ts, log
 
 

@@ -57,7 +57,14 @@ def test_cleanup_dry_run_and_apply(tmp_path, capsys):
     assert (root / "keep.nii").exists()
 
 
-def test_convert_without_dcm2niix_errors(tmp_path):
-    with pytest.raises(SystemExit, match="dcm2niix"):
-        main(["convert", "--input", str(tmp_path), "--output",
-              str(tmp_path / "o")])
+def test_convert_without_dcm2niix_falls_back_to_native(tmp_path, capsys):
+    # Without dcm2niix on PATH, convert falls back to the native
+    # pure-NumPy DICOM reader (reference convert_dcm2nii.py:35-60
+    # fallback parity) instead of erroring; an empty tree converts
+    # nothing. The full native conversion path is driven in
+    # tests/test_dicom.py::test_convert_cli_native_fallback.
+    main(["convert", "--input", str(tmp_path), "--output",
+          str(tmp_path / "o")])
+    out = capsys.readouterr().out
+    assert "native DICOM reader" in out
+    assert "Converted 0 DICOM series" in out
