@@ -25,6 +25,15 @@ import numpy as np
 from otfusion_tpu.eval import harness
 
 
+def _parse_eps(text: str):
+    """Float for OT methods; "adv,latent_dim,lr" tuple for VAE methods
+    (the reference's hyperparameter triple, cv_inner_loop.py:121-129)."""
+    if "," in text:
+        a, d, lr = text.split(",")
+        return (float(a), int(d), float(lr))
+    return float(text)
+
+
 def _load_data(path: str):
     p = Path(path)
     if p.suffix == ".npz":
@@ -79,13 +88,15 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("loo", help="leave-one-treatment-out (loo.py parity)")
     p.add_argument("method", choices=sorted(harness.OT_METHOD_MAP))
     p.add_argument("filepath", type=str)
-    p.add_argument("eps", type=float)
+    p.add_argument("eps", type=_parse_eps,
+                   help="epsilon, or adv,latent_dim,lr for VAE methods")
 
     p = sub.add_parser("all", help="whole-dataset matching run "
                        "(all.py parity)")
     p.add_argument("method", choices=sorted(harness.OT_METHOD_MAP))
     p.add_argument("filepath", type=str)
-    p.add_argument("eps", type=float)
+    p.add_argument("eps", type=_parse_eps,
+                   help="epsilon, or adv,latent_dim,lr for VAE methods")
 
     p = sub.add_parser("feature-matching", help="feature-level FOT "
                        "(feature_matching.py parity)")

@@ -20,8 +20,10 @@ launchers write LSF ``bsub`` scripts with hardcoded GPFS paths
 * the missing predictors are reconstructed from their call sites
   (:mod:`otfusion_tpu.eval.predictors` — coupling-weighted OLS in closed
   form on device, Flax MLP on barycentric-projected targets);
-* the VAE family (``train_vae_model`` & friends) depended on scvi-tools
-  and is intentionally out of scope, exactly as SURVEY.md §2.8 scopes it;
+* the VAE matching family ("VAE"/"VAE_label"), whose scvi-tools
+  implementation is also missing upstream, is reconstructed natively as
+  an adversarially-aligned shared-latent Flax VAE
+  (:mod:`otfusion_tpu.eval.vae`);
 * the LSF submitter is replaced by an in-process grid runner
   (:func:`otfusion_tpu.eval.harness.run_grid` and the
   ``otfusion-perturbot-eval`` CLI).
@@ -42,6 +44,13 @@ from otfusion_tpu.eval.predictors import (
     weight_1_ols_normed,
     weight_conc_normed,
     weighted_ols_normed,
+)
+from otfusion_tpu.eval.vae import (
+    VAEMatchModel,
+    infer_from_Xs,
+    infer_from_Ys,
+    predict_from_model,
+    train_vae_model,
 )
 from otfusion_tpu.eval.harness import (
     OT_METHOD_HYPERPARAMS,
@@ -70,6 +79,11 @@ __all__ = [
     "weighted_ols_normed",
     "OT_METHOD_HYPERPARAMS",
     "OT_METHOD_MAP",
+    "VAEMatchModel",
+    "infer_from_Xs",
+    "infer_from_Ys",
+    "predict_from_model",
+    "train_vae_model",
     "run_all",
     "run_feature_matching",
     "run_grid",

@@ -25,6 +25,7 @@ All functions return plain in-memory dicts; persistence is the CLI's job
 
 from __future__ import annotations
 
+from functools import partial
 from itertools import product
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
@@ -41,6 +42,13 @@ from otfusion_tpu.eval.predictors import (
     weight_conc_normed,
     weighted_ols_normed,
 )
+from otfusion_tpu.eval.vae import (
+    infer_from_Xs,
+    infer_from_Ys,
+    predict_from_model,
+    train_vae_model,
+)
+from otfusion_tpu.metrics.ot_quality import knn_couplings_per_label
 from otfusion_tpu.ops.api import (
     get_coupling_cot_sinkhorn,
     get_coupling_cotl_sinkhorn,
@@ -56,8 +64,9 @@ from otfusion_tpu.ops.api import (
 # Reference registry (cv_inner_loop.py:59-71). "EGWL" maps upstream to the
 # missing perturbot.match.gw_labels fork whose behaviour the native
 # label-masked global GW reproduces (VERDICT row 21), so both EGWL names
-# resolve to it here. The VAE family required scvi-tools and is out of
-# scope (SURVEY.md §2.8).
+# resolve to it here. The VAE family's upstream implementation
+# (perturbot.predict.scvi_vae) is also absent — reconstructed natively in
+# eval/vae.py (Flax, adversarially-aligned shared latent).
 OT_METHOD_MAP: Dict[str, Callable] = {
     "ECOOTL": get_coupling_cotl_sinkhorn,
     "ECOOT_each": get_coupling_each_cot_sinkhorn,
@@ -68,12 +77,29 @@ OT_METHOD_MAP: Dict[str, Callable] = {
     "EGW_ott": get_coupling_egw_ott,
     "EGW_all_ott": get_coupling_egw_all_ott,
     "EGWL_ott": get_coupling_egw_labels_ott,
+    "VAE_label": train_vae_model,
+    "VAE": partial(train_vae_model, use_label=False),
 }
 
-# Hyperparameter grid (cv_inner_loop.py:102-120).
-OT_METHOD_HYPERPARAMS: Dict[str, List[float]] = {
-    m: [0.1, 1e-2, 1e-3, 1e-4, 1e-5] for m in OT_METHOD_MAP
+# Hyperparameter grid (cv_inner_loop.py:102-129): epsilons for the OT
+# methods, (adv_weight, latent_dim, lr) tuples for the VAE family.
+OT_METHOD_HYPERPARAMS: Dict[str, list] = {
+    m: [0.1, 1e-2, 1e-3, 1e-4, 1e-5]
+    for m in OT_METHOD_MAP if "VAE" not in m
 }
+for _m in ("VAE", "VAE_label"):
+    OT_METHOD_HYPERPARAMS[_m] = list(
+        product([1, 5, 10, 50, 100], [128], [1e-4])
+    )
+
+# k grids for the VAE kNN-coupling evaluation (cv_inner_loop.py:288 /
+# all.py:122).
+VAE_INNER_KS = [5, 10, 25, 50]
+VAE_ALL_KS = [1, 5, 10, 50, 100]
+
+
+def _is_vae(method: str) -> bool:
+    return "VAE" in method
 
 # Methods returning one dense coupling over all samples
 # (cv_inner_loop.py:131).
@@ -197,6 +223,32 @@ def run_inner_cv(
         ts, log = solver((tr_x, tr_y), eps)
         t_store[eps][val_labels] = ts
         log_store[eps][val_labels] = log
+        if _is_vae(method):
+            # VAE branch (cv_inner_loop.py:287-302, 316-317): score the
+            # shared latents — FOSCTTM without barycentric projection,
+            # diag fracs of kNN couplings built in latent space.
+            dim_x = next(iter(tr_x.values())).shape[1]
+            dim_y = next(iter(tr_y.values())).shape[1]
+            lat_y = infer_from_Ys(tr_y, ts, dim_x)
+            lat_x = infer_from_Xs(tr_x, ts, dim_y)
+            _, mean_foscttm = get_FOSCTTM(
+                None, lat_x, lat_y, use_agg="mean", use_barycenter=False)
+            matching[eps].append(mean_foscttm)
+            if tr_z:
+                n_min = min(v.shape[0] for v in lat_y.values())
+                ks = [k for k in VAE_INNER_KS if k <= n_min] or [n_min]
+                ts_multk = knn_couplings_per_label(lat_x, lat_y, ks)
+                dfracs[eps].append({
+                    k: get_diag_fracs(t_k, tr_x, tr_y, tr_z, tr_z)[1]
+                    for k, t_k in ts_multk.items()
+                })
+            for vl in val_labels:
+                pred = predict_from_model(np.asarray(tv_x[vl]), ts, dim_y)
+                pred_evals[eps].append(
+                    get_evals(np.asarray(tv_y[vl]), pred,
+                              prediction_id=(eps, val_labels))
+                )
+            continue
         if _coupling_failed(ts):
             # underflow sentinel (cv_inner_loop.py:252-285)
             matching[eps].append(100.0)
@@ -289,17 +341,44 @@ def run_outer_cv(
         ts_pred = ts_match
     else:
         solver = OT_METHOD_MAP[method]
-        ts_match, log_match = solver((tr_x, tr_y), match_eps)
+        # VAE trains on the FULL features (cv_outer_loop.py:179-186);
+        # OT methods couple the (reduced) matching features.
+        if _is_vae(method) and pred_data is not None:
+            pfx, pfy, _, _ = _unpack(pred_data, z_key)
+            fit_x = _pop_keys(pfx, test_labels)
+            fit_y = _pop_keys(pfy, test_labels)
+        else:
+            fit_x, fit_y = tr_x, tr_y
+        ts_match, log_match = solver((fit_x, fit_y), match_eps)
         if match_eps != pred_eps:
-            ts_pred, log_pred_match = solver((tr_x, tr_y), pred_eps)
+            ts_pred, log_pred_match = solver((fit_x, fit_y), pred_eps)
         else:
             ts_pred = ts_match
 
-    ts_match = _normalize_mass(ts_match)
-    _, mean_foscttm = get_FOSCTTM(ts_match, tr_x, tr_y, use_agg="mean")
-    dfrac, rel_dfrac = (float("nan"), float("nan"))
-    if tr_z:
-        dfrac, rel_dfrac = get_diag_fracs(ts_match, tr_x, tr_y, tr_z, tr_z)
+    vae = baseline is None and _is_vae(method)
+    if vae:
+        # cv_outer_loop.py:207-226: matching scored on the shared latents
+        # of whatever features the VAE was fit on (full when available)
+        dim_x = next(iter(fit_x.values())).shape[1]
+        dim_y = next(iter(fit_y.values())).shape[1]
+        lat_y = infer_from_Ys(fit_y, ts_match, dim_x)
+        lat_x = infer_from_Xs(fit_x, ts_match, dim_y)
+        _, mean_foscttm = get_FOSCTTM(
+            None, lat_x, lat_y, use_agg="mean", use_barycenter=False)
+        dfrac, rel_dfrac = {}, {}
+        if tr_z:
+            n_min = min(v.shape[0] for v in lat_y.values())
+            ks = [k for k in VAE_ALL_KS if k <= n_min] or [n_min]
+            for k, t_k in knn_couplings_per_label(lat_x, lat_y, ks).items():
+                dfrac[k], rel_dfrac[k] = get_diag_fracs(
+                    t_k, tr_x, tr_y, tr_z, tr_z)
+    else:
+        ts_match = _normalize_mass(ts_match)
+        _, mean_foscttm = get_FOSCTTM(ts_match, tr_x, tr_y, use_agg="mean")
+        dfrac, rel_dfrac = (float("nan"), float("nan"))
+        if tr_z:
+            dfrac, rel_dfrac = get_diag_fracs(ts_match, tr_x, tr_y,
+                                              tr_z, tr_z)
 
     # Prediction on full features (cv_outer_loop.py:258-284).
     fx_dict, fy_dict, _, _ = _unpack(pred_data or data, z_key)
@@ -307,8 +386,13 @@ def run_outer_cv(
     ftr_y = _pop_keys(fy_dict, test_labels)
     test_x = np.concatenate([np.asarray(fx_dict[l]) for l in test_labels])
     test_y = np.concatenate([np.asarray(fy_dict[l]) for l in test_labels])
-    model, log_mlp = train_mlp((ftr_x, ftr_y), ts_pred)
-    y_pred = model(test_x)
+    if vae:
+        dim_y_full = next(iter(fy_dict.values())).shape[1]
+        y_pred = predict_from_model(test_x, ts_pred, dim_y_full)
+        log_mlp = {"final_loss": float("nan")}
+    else:
+        model, log_mlp = train_mlp((ftr_x, ftr_y), ts_pred)
+        y_pred = model(test_x)
     pred_eval = get_evals(test_y, y_pred, prediction_id="eval")
 
     return {
@@ -351,6 +435,28 @@ def run_loo(
         ts, solver_log = solver((tr_x, tr_y), eps)
         log["ot_couplings"][test_label] = ts
         log["logs"][test_label] = solver_log
+        if _is_vae(method):
+            # loo.py:114-185 (run_models_vae): translate the held-out X
+            # through the shared latent, log latents + per-k kNN plans.
+            dim_x = next(iter(tr_x.values())).shape[1]
+            dim_y = next(iter(tr_y.values())).shape[1]
+            lat_y = infer_from_Ys(tr_y, ts, dim_x)
+            lat_x = infer_from_Xs(tr_x, ts, dim_y)
+            log.setdefault("latent_X", {})[test_label] = lat_x
+            log.setdefault("latent_Y", {})[test_label] = lat_y
+            n_min = min(v.shape[0] for v in lat_y.values())
+            ks = [k for k in VAE_ALL_KS if k <= n_min] or [n_min]
+            for k, t_k in knn_couplings_per_label(lat_x, lat_y, ks).items():
+                log.setdefault(f"pred_T_k{k}", {})[test_label] = t_k
+            pred_y = predict_from_model(
+                np.asarray(x_dict[test_label]), ts, dim_y)
+            log["preds"][test_label] = pred_y
+            rows = get_evals_preds(
+                np.asarray(y_dict[test_label]), [pred_y], ["VAE"])
+            for row in rows:
+                row["loo_test_idx"] = test_label
+            eval_rows.extend(rows)
+            continue
         params = [weighted_ols_normed(tr_x, tr_y, ts)]
         for baseline in BASELINE_PRED_METHODS:
             params.append(baseline(tr_x, tr_y, tr_z))
@@ -374,6 +480,31 @@ def run_all(
     fractions."""
     x_dict, y_dict, zs_dict, _ = _unpack(data, z_key)
     ts, log = OT_METHOD_MAP[method]((x_dict, y_dict), eps)
+    if _is_vae(method):
+        # all.py:110-129: latent FOSCTTM + per-k kNN-coupling diag fracs
+        dim_x = next(iter(x_dict.values())).shape[1]
+        dim_y = next(iter(y_dict.values())).shape[1]
+        lat_y = infer_from_Ys(y_dict, ts, dim_x)
+        lat_x = infer_from_Xs(x_dict, ts, dim_y)
+        _, mean_foscttm = get_FOSCTTM(
+            None, lat_x, lat_y, use_agg="mean", use_barycenter=False)
+        dfrac, rel_dfrac = {}, {}
+        if zs_dict:
+            n_min = min(v.shape[0] for v in lat_y.values())
+            ks = [k for k in VAE_ALL_KS if k <= n_min] or [n_min]
+            for k, t_k in knn_couplings_per_label(lat_x, lat_y, ks).items():
+                dfrac[k], rel_dfrac[k] = get_diag_fracs(
+                    t_k, x_dict, y_dict, zs_dict, zs_dict)
+        return {
+            "eps": eps,
+            "matching_evals": {
+                "mean_foscttm": mean_foscttm,
+                "dfracs": dfrac,
+                "rel_dfracs": rel_dfrac,
+            },
+            "T": ts,
+            "log": log,
+        }
     ts = _normalize_mass(ts)
     _, mean_foscttm = get_FOSCTTM(ts, x_dict, y_dict, use_agg="mean")
     dfrac = rel_dfrac = float("nan")
@@ -396,15 +527,31 @@ def run_feature_matching(
     method: str,
     eps: float,
     ts=None,
-    best_eps: Optional[float] = None,
+    best_eps=None,
+    best_k: int = 10,
     z_key: str = "dosage",
 ) -> Dict:
     """Feature-level FOT given sample couplings
     (feature_matching.py:50-111): if ``ts`` is not supplied, build the
     baseline coupling named by ``method`` ("perfect"/"random"/"by_conc",
     feature_matching.py:84-101) or solve the OT method at ``best_eps``;
-    then run FOT at ``eps`` to get the feature coupling Tv."""
+    VAE methods convert their latents to kNN couplings at ``best_k``
+    (feature_matching.py:75-81). Then run FOT at ``eps`` to get the
+    feature coupling Tv."""
     x_dict, y_dict, zs_dict, _ = _unpack(data, z_key)
+    if ts is None and _is_vae(method):
+        model, _ = OT_METHOD_MAP[method](
+            (x_dict, y_dict),
+            best_eps if best_eps is not None
+            else OT_METHOD_HYPERPARAMS[method][0],
+        )
+        dim_x = next(iter(x_dict.values())).shape[1]
+        dim_y = next(iter(y_dict.values())).shape[1]
+        lat_y = infer_from_Ys(y_dict, model, dim_x)
+        lat_x = infer_from_Xs(x_dict, model, dim_y)
+        n_min = min(v.shape[0] for v in lat_y.values())
+        k = min(best_k, n_min)
+        ts = knn_couplings_per_label(lat_x, lat_y, [k])[k]
     if ts is None:
         if method == "random":
             ts = {
@@ -447,11 +594,13 @@ def run_grid(
     every epsilon (and, for ``kind="inner-cv"``, every outer fold) and
     return {key: result}."""
     say = progress or (lambda s: None)
-    epsilons = list(
-        epsilons
-        if epsilons is not None
-        else [1e-2, 1e-3, 1e-4, 1e-5]  # grid of all.py:171
-    )
+    if epsilons is not None:
+        epsilons = list(epsilons)
+    elif _is_vae(method):
+        epsilons = OT_METHOD_HYPERPARAMS[method]  # (adv, dim, lr) tuples
+    else:
+        epsilons = [1e-2, 1e-3, 1e-4, 1e-5]  # grid of all.py:171
+    epsilons = list(epsilons)
     out: Dict = {}
     if kind == "all":
         for eps in epsilons:
@@ -475,6 +624,13 @@ def run_grid(
                     "rel_dfracs"
                 ]
                 for e in epsilons
+            }
+            # VAE rel_dfracs arrive as per-k dicts — take the best k,
+            # exactly as submit_feature_run does
+            # (feature_matching.py:126-132).
+            rel = {
+                e: (max(v.values()) if isinstance(v, dict) and v else v)
+                for e, v in rel.items()
             }
             best_eps = max(rel, key=lambda e: np.nan_to_num(rel[e], nan=-10))
         for eps in epsilons:

@@ -156,6 +156,13 @@ def get_FOSCTTM(
     its row-normalised coupling, then rank the projection against the true
     target among all targets. Returns (per-sample array, aggregate)."""
     agg = np.nanmedian if use_agg == "median" else np.nanmean
+    if not use_barycenter:
+        # coupling unused on this path (e.g. the VAE latents flow,
+        # cv_inner_loop.py:291-293 passes the opaque model object here)
+        xs = np.concatenate([np.asarray(xs_dict[l]) for l in xs_dict])
+        xt = np.concatenate([np.asarray(xt_dict[l]) for l in xt_dict])
+        fr = foscttm_per_sample(xs, xt)
+        return fr, float(agg(fr))
     if isinstance(t_dict, dict):
         labels = _labels_of(xs_dict)
         src = np.concatenate(

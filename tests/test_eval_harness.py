@@ -23,6 +23,12 @@ from otfusion_tpu.eval import (
     weighted_ols_normed,
 )
 from otfusion_tpu.eval.prediction import spearman_rowwise
+from otfusion_tpu.eval.vae import (
+    infer_from_Xs,
+    infer_from_Ys,
+    predict_from_model,
+    train_vae_model,
+)
 from otfusion_tpu.ops.api import (
     get_coupling_cot_sinkhorn,
     get_coupling_each_cot_sinkhorn,
@@ -319,3 +325,55 @@ def test_cli_all_roundtrip(tmp_path):
     with open(tmp_path / "all_LEOT_ott.0.001.pkl", "rb") as f:
         result = pickle.load(f)
     assert "matching_evals" in result and "T" in result
+
+
+# -------------------------------------------------------------------- VAE
+
+
+def test_vae_train_and_roundtrip():
+    data = synthetic_screen(n_labels=3, n=20, d=8, dp=6, seed=20)
+    xs, ys = data["Xs_dict"], data["Xt_dict"]
+    model, log = train_vae_model((xs, ys), (10.0, 4, 1e-3), steps=300)
+    assert np.isfinite(log["final_gen_loss"])
+    assert np.isfinite(log["final_disc_loss"])
+    lx = infer_from_Xs(xs, model, 6)
+    ly = infer_from_Ys(ys, model, 8)
+    assert lx[0].shape == (20, 4) and ly[0].shape == (20, 4)
+    # both latent clouds anchored to the shared prior: comparable scales
+    sx = np.concatenate(list(lx.values())).std()
+    sy = np.concatenate(list(ly.values())).std()
+    assert 0.2 < sx / sy < 5.0
+    pred = predict_from_model(np.concatenate(list(xs.values())), model, 6)
+    assert pred.shape == (60, 6)
+    assert np.all(np.isfinite(pred))
+
+
+def test_vae_registry_and_inner_cv_branch():
+    from otfusion_tpu.eval.harness import OT_METHOD_HYPERPARAMS, OT_METHOD_MAP
+
+    assert "VAE" in OT_METHOD_MAP and "VAE_label" in OT_METHOD_MAP
+    assert OT_METHOD_HYPERPARAMS["VAE"][0] == (1, 128, 1e-4)
+    data = synthetic_screen(n_labels=10, n=8, d=6, dp=5, seed=21)
+    result = run_inner_cv(
+        data, "VAE_label", test_idx=0,
+        epsilons=[(5.0, 4, 1e-3)], n_splits=2,
+    )
+    eps = (5.0, 4, 1e-3)
+    assert result["best_eps"]["matching"] == eps
+    assert np.isfinite(result["matching_evals"][eps])
+    # dfracs arrive as per-k dicts on the VAE path
+    assert isinstance(result["dfracs"][eps][0], dict)
+    mses = [d["MSE"] for d in result["pred_evals"][eps]]
+    assert all(np.isfinite(m) for m in mses)
+
+
+def test_vae_run_all_and_loo_branches():
+    data = synthetic_screen(n_labels=3, n=12, d=6, dp=5, seed=22)
+    result = run_all(data, "VAE", eps=(5.0, 4, 1e-3))
+    assert 0.0 <= result["matching_evals"]["mean_foscttm"] <= 1.0
+    assert isinstance(result["matching_evals"]["rel_dfracs"], dict)
+    rows, log = run_loo(data, "VAE_label", eps=(5.0, 4, 1e-3))
+    assert len(rows) == 3  # one VAE row per hold-out
+    assert all(r["_id"] == "VAE" for r in rows)
+    assert all(np.isfinite(r["MSE"]) for r in rows)
+    assert "latent_X" in log and "pred_T_k5" in log
