@@ -140,6 +140,7 @@ def fusion_main(
         profile_dir=args.profile_dir,
         resume=args.resume,
         num_devices=resolve_num_devices(args.num_devices),
+        tp_size=args.tp_size,
         num_workers=args.num_workers,
         config_lines={
             "Dataset": args.data_dir,

@@ -39,6 +39,11 @@ def add_common_args(parser: argparse.ArgumentParser, *, epochs: int,
                              "visible devices (batch shards over a 1-D "
                              "mesh, gradients all-reduce over ICI; "
                              "TPU-native addition)")
+    parser.add_argument("--tp-size", type=int, default=1,
+                        help="Tensor-parallel ways: with --num-devices N, "
+                             "builds a 2-D (N/tp, tp) mesh; fusion-trunk "
+                             "Dense kernels column-shard over the model "
+                             "axis (TPU-native addition)")
     parser.add_argument("--max-samples-per-class", type=int, default=None)
     parser.add_argument("--load-patient-ids", type=str, default=None,
                         help="Fixed-split or patient-filter JSON")

@@ -151,6 +151,7 @@ def main(argv=None):
         profile_dir=args.profile_dir,
         resume=args.resume,
         num_devices=resolve_num_devices(args.num_devices),
+        tp_size=args.tp_size,
         num_workers=args.num_workers,
         config_lines={
             "Dataset": args.data_dir,

@@ -6,6 +6,9 @@ from otfusion_tpu.parallel.mesh import (
     resolve_mesh,
     replicated,
     place_replicated,
+    place_state,
+    data_axis_size,
+    has_model_axis,
     batch_sharded,
     shard_batch,
     fusion_param_sharding,
@@ -22,6 +25,9 @@ __all__ = [
     "resolve_mesh",
     "replicated",
     "place_replicated",
+    "place_state",
+    "data_axis_size",
+    "has_model_axis",
     "batch_sharded",
     "shard_batch",
     "fusion_param_sharding",

@@ -32,11 +32,15 @@ def make_mesh(devices: Sequence | None = None, axis: str = DATA_AXIS) -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
-def resolve_mesh(num_devices: int | str | None) -> Mesh | None:
+def resolve_mesh(
+    num_devices: int | str | None, tp_size: int = 1
+) -> Mesh | None:
     """Trainer-facing mesh policy: ``1``/``None`` = single device (no
     mesh), ``0`` or ``"auto"`` = all visible devices, N = first N.
-    Returns None when only one device would participate."""
-    if num_devices in (None, 1):
+    ``tp_size > 1`` splits the chips into a 2-D (data, model) mesh —
+    batches shard over ``data``, fusion-trunk Dense kernels over
+    ``model``. Returns None when only one device would participate."""
+    if num_devices in (None, 1) and tp_size <= 1:
         return None
     devices = jax.devices()
     n = len(devices) if num_devices in (0, "auto") else int(num_devices)
@@ -45,7 +49,22 @@ def resolve_mesh(num_devices: int | str | None) -> Mesh | None:
             f"--num-devices {n} requested but only {len(devices)} visible")
     if n <= 1:
         return None
+    if tp_size > 1:
+        if n % tp_size:
+            raise ValueError(
+                f"--num-devices {n} not divisible by --tp-size {tp_size}")
+        return make_2d_mesh(n // tp_size, tp_size, devices[:n])
     return make_mesh(devices[:n])
+
+
+def data_axis_size(mesh: Mesh) -> int:
+    """Number of ways the batch/row dimension shards (the ``data`` axis
+    of a 1-D or 2-D mesh)."""
+    return mesh.shape.get(DATA_AXIS, 1)
+
+
+def has_model_axis(mesh: Mesh) -> bool:
+    return mesh.shape.get(MODEL_AXIS, 1) > 1
 
 
 def make_2d_mesh(
@@ -125,8 +144,21 @@ def place_replicated(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda a: jax.device_put(a, rep), tree)
 
 
+def place_state(state, mesh: Mesh):
+    """Place a train state for ``mesh``: replicated on a 1-D data mesh;
+    on a 2-D (data, model) mesh, fusion-trunk Dense kernels column-shard
+    over ``model`` (megatron-style, see ``_tp_rule_factory``) and
+    everything else replicates."""
+    if not has_model_axis(mesh):
+        return place_replicated(state, mesh)
+    sharding_tree = jax.tree_util.tree_map_with_path(
+        _tp_rule_factory(mesh), state
+    )
+    return jax.device_put(state, sharding_tree)
+
+
 def _dp_wrap(raw, mesh: Mesh, batch_ndims: Sequence[int], n_rest: int,
-             donate: bool = False):
+             donate: bool = False, tp: bool = False):
     """jit ``raw(state, *batch_arrays, *rest)`` for data parallelism.
 
     Batch arrays shard on dim 0, state and the ``n_rest`` trailing args
@@ -141,21 +173,29 @@ def _dp_wrap(raw, mesh: Mesh, batch_ndims: Sequence[int], n_rest: int,
 
     The returned step accepts host numpy batches; trailing args are
     device_put to the replicated sharding (no-op when already placed).
+
+    On a 2-D (data, model) mesh, pass ``tp=True``: the state's sharding
+    is then left unconstrained (``in_shardings=None`` entry) so the
+    caller's committed TP placement (``place_state``) propagates through
+    the step — batches still shard over ``data`` only.
     """
     rep = replicated(mesh)
+    state_sharding = None if tp else rep
     donate_args = (0,) if donate else ()
     main = jax.jit(
         raw,
-        in_shardings=(rep, *[batch_sharded(mesh, nd) for nd in batch_ndims],
+        in_shardings=(state_sharding,
+                      *[batch_sharded(mesh, nd) for nd in batch_ndims],
                       *[rep] * n_rest),
         donate_argnums=donate_args,
     )
     fallback = jax.jit(
         raw,
-        in_shardings=(rep, *[rep] * (len(batch_ndims) + n_rest)),
+        in_shardings=(state_sharding,
+                      *[rep] * (len(batch_ndims) + n_rest)),
         donate_argnums=donate_args,
     )
-    n_dev = mesh.devices.size
+    n_dev = data_axis_size(mesh)
     n_batch = len(batch_ndims)
 
     def step(state, *args):
@@ -169,40 +209,46 @@ def _dp_wrap(raw, mesh: Mesh, batch_ndims: Sequence[int], n_rest: int,
 
 
 def make_dp_fusion_steps(model, mesh: Mesh, **train_kwargs):
-    """The fusion trainer's full step family, data-parallel over ``mesh``:
+    """The fusion trainer's full step family, parallel over ``mesh``:
     (train_step, eval_step, feature_extract_step), all drop-in compatible
     with the single-device factories in train/steps.py. The caller places
-    the state once with ``place_replicated``."""
+    the state once with ``place_state``. On a 1-D mesh this is pure DP;
+    on a 2-D (data, model) mesh the committed TP placement of the state
+    (fusion-trunk Dense kernels column-sharded over ``model``) propagates
+    through every step while batches shard over ``data``."""
     from otfusion_tpu.train.steps import (
         make_feature_extract_step,
         make_fusion_eval_step,
         make_fusion_train_step,
     )
 
+    tp = has_model_axis(mesh)
     train_raw = make_fusion_train_step(model, jit=False, **train_kwargs)
     eval_raw = make_fusion_eval_step(model, jit=False)
     feat_raw = make_feature_extract_step(model, jit=False)
     # (state, mri, pet, labels, tv, rng) / (…, tv) / (state, mri, pet)
     return (
-        _dp_wrap(train_raw, mesh, (5, 5, 1), 2, donate=True),
-        _dp_wrap(eval_raw, mesh, (5, 5, 1), 1),
-        _dp_wrap(feat_raw, mesh, (5, 5), 0),
+        _dp_wrap(train_raw, mesh, (5, 5, 1), 2, donate=True, tp=tp),
+        _dp_wrap(eval_raw, mesh, (5, 5, 1), 1, tp=tp),
+        _dp_wrap(feat_raw, mesh, (5, 5), 0, tp=tp),
     )
 
 
 def make_dp_unimodal_steps(model, mesh: Mesh):
-    """(train_step, eval_step) for the unimodal trainer, DP over ``mesh``."""
+    """(train_step, eval_step) for the unimodal trainer over ``mesh``
+    (DP on a 1-D mesh; DP + Dense-kernel TP on a 2-D mesh)."""
     from otfusion_tpu.train.steps import (
         make_unimodal_eval_step,
         make_unimodal_train_step,
     )
 
+    tp = has_model_axis(mesh)
     train_raw = make_unimodal_train_step(model, jit=False)
     eval_raw = make_unimodal_eval_step(model, jit=False)
     # (state, vol, labels, rng) / (state, vol, labels)
     return (
-        _dp_wrap(train_raw, mesh, (5, 1), 1, donate=True),
-        _dp_wrap(eval_raw, mesh, (5, 1), 0),
+        _dp_wrap(train_raw, mesh, (5, 1), 1, donate=True, tp=tp),
+        _dp_wrap(eval_raw, mesh, (5, 1), 0, tp=tp),
     )
 
 
@@ -228,7 +274,7 @@ def make_sharded_coupling_pipeline(mesh: Mesh, axis: str = DATA_AXIS):
     feat = NamedSharding(mesh, P(None, None, axis))
     rep = NamedSharding(mesh, P())
     row = NamedSharding(mesh, P(axis, None))
-    n_dev = mesh.devices.size
+    n_dev = data_axis_size(mesh)
 
     # pjit rejects kwargs when in_shardings is set, and the impl's
     # config args are keyword-only — shim them to positional statics.

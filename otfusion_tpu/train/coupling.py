@@ -170,9 +170,12 @@ class CouplingService:
         # (feature-dim sharded over the mesh in the DP path; falls back
         # to the replicated pipeline when d doesn't divide the mesh).
         pipeline = self._pipeline
+        if self.mesh is not None:
+            from otfusion_tpu.parallel import data_axis_size
+
+            n_rows = data_axis_size(self.mesh)
         if self.mesh is not None and (
-            pet_g.shape[-1] % self.mesh.devices.size
-            or mri_g.shape[-1] % self.mesh.devices.size
+            pet_g.shape[-1] % n_rows or mri_g.shape[-1] % n_rows
         ):
             pipeline = coupling_pipeline
         tv, gw, fot_res = pipeline(

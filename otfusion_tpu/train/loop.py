@@ -171,6 +171,7 @@ def run_fusion_training(
     profile_dir: Optional[str] = None,
     resume: bool = False,
     num_devices: int | str = 1,
+    tp_size: int = 1,
     num_workers: int = 8,
 ) -> Dict[str, object]:
     if not len(val_idx) or not len(train_idx):
@@ -184,12 +185,16 @@ def run_fusion_training(
     # Data-parallel mesh over the first N chips (``0``/"auto" = all).
     # GSPMD is semantics-preserving, so every number below (losses,
     # metrics, BatchNorm stats) matches the single-device trainer.
-    from otfusion_tpu.parallel import place_replicated, resolve_mesh
+    from otfusion_tpu.parallel import place_state, resolve_mesh
 
-    mesh = resolve_mesh(num_devices)
+    # ``tp_size > 1`` upgrades the 1-D data mesh to a 2-D (data, model)
+    # mesh: fusion-trunk Dense kernels column-shard over ``model``
+    # (place_state), batches shard over ``data`` (the step factories
+    # detect the model axis and leave the state sharding committed).
+    mesh = resolve_mesh(num_devices, tp_size)
 
     def _place(s):
-        return place_replicated(s, mesh) if mesh is not None else s
+        return place_state(s, mesh) if mesh is not None else s
 
     cache = _VolumeCache(target_shape, num_workers=num_workers)
     train_samples = [samples[i] for i in train_idx]
@@ -425,6 +430,7 @@ def run_unimodal_training(
     profile_dir: Optional[str] = None,
     resume: bool = False,
     num_devices: int | str = 1,
+    tp_size: int = 1,
     num_workers: int = 8,
 ) -> Dict[str, object]:
     if not len(val_idx) or not len(train_idx):
@@ -436,12 +442,16 @@ def run_unimodal_training(
     model_dir = os.path.join(save_path, "best_model")
     num_classes = len(class_names)
 
-    from otfusion_tpu.parallel import place_replicated, resolve_mesh
+    from otfusion_tpu.parallel import place_state, resolve_mesh
 
-    mesh = resolve_mesh(num_devices)
+    # ``tp_size > 1`` upgrades the 1-D data mesh to a 2-D (data, model)
+    # mesh: fusion-trunk Dense kernels column-shard over ``model``
+    # (place_state), batches shard over ``data`` (the step factories
+    # detect the model axis and leave the state sharding committed).
+    mesh = resolve_mesh(num_devices, tp_size)
 
     def _place(s):
-        return place_replicated(s, mesh) if mesh is not None else s
+        return place_state(s, mesh) if mesh is not None else s
 
     cache = _VolumeCache(target_shape, num_workers=num_workers)
     train_loader = Loader(
