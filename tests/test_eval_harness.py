@@ -377,3 +377,24 @@ def test_vae_run_all_and_loo_branches():
     assert all(r["_id"] == "VAE" for r in rows)
     assert all(np.isfinite(r["MSE"]) for r in rows)
     assert "latent_X" in log and "pred_T_k5" in log
+
+
+def test_outer_cv_ot_method_end_to_end():
+    """Non-baseline outer loop: EGWL coupling on train-val labels, MLP
+    prediction on the held-out fold (cv_outer_loop.py:176-284 path)."""
+    data = synthetic_screen(n_labels=5, n=10, seed=30, noise=0.02)
+    result = run_outer_cv(data, "EGWL_ott", 0, 1e-3, 1e-3)
+    me = result["matching_evals"]
+    assert 0.0 <= me["mean_foscttm"] <= 1.0
+    assert np.isfinite(me["rel_dfracs"])
+    pe = result["pred_evals"]["full"]
+    # NOTE: no absolute-quality bound here — GW couplings are invariant
+    # to isometries of the feature clouds, so a reflection-flipped
+    # alignment can score well on FOSCTTM yet predict poorly; measuring
+    # exactly that is the harness's purpose, not a defect to assert away.
+    assert np.isfinite(pe["MSE"])
+    for k in ["Pearson_corr", "Spearman_corr", "Pearson_samples",
+              "Spearman_samples"]:
+        assert np.isfinite(pe[k])
+    assert result["pred"]["Y_pred"].shape == result["pred"]["Y_true"].shape
+    assert result["log"]["match"] is not None
