@@ -95,6 +95,19 @@ class _VolumeCache:
         return out
 
 
+def _host_rows(idx: List[int], host_shard) -> List[int]:
+    """Per-host contiguous row block of one global batch (multi-host
+    loading: every process walks the SAME seeded global order but loads
+    only its rows, matching parallel.multihost.host_rows — uneven
+    remainders go to the leading hosts like np.array_split)."""
+    if host_shard is None:
+        return idx
+    index, count = host_shard
+    base, extra = divmod(len(idx), count)
+    start = index * base + min(index, extra)
+    return idx[start : start + base + (1 if index < extra else 0)]
+
+
 def _augment_np(vol: np.ndarray, rng: random.Random) -> np.ndarray:
     """Host-side random axis flips (reference _augment, p=0.5 per axis)."""
     for axis in range(3):
@@ -115,6 +128,7 @@ class Loader:
         augment: bool = False,
         seed: int = 42,
         cache: _VolumeCache | None = None,
+        host_shard: "Tuple[int, int] | None" = None,
     ):
         self.samples = list(samples)
         self.batch_size = batch_size
@@ -122,6 +136,7 @@ class Loader:
         self.augment = augment
         self.rng = random.Random(seed)
         self.cache = cache or _VolumeCache(target_shape)
+        self.host_shard = host_shard
 
     def __len__(self) -> int:
         return (len(self.samples) + self.batch_size - 1) // self.batch_size
@@ -132,7 +147,7 @@ class Loader:
             self.rng.shuffle(order)
         bs = self.batch_size
         for start in range(0, len(order), bs):
-            idx = order[start : start + bs]
+            idx = _host_rows(order[start : start + bs], self.host_shard)
             paths = [self.samples[i][0] for i in idx]
             labels = [self.samples[i][1] for i in idx]
             vols = self.cache.get_many(paths)
@@ -153,6 +168,7 @@ class MultimodalLoader:
         augment: bool = False,
         seed: int = 42,
         cache: _VolumeCache | None = None,
+        host_shard: "Tuple[int, int] | None" = None,
     ):
         self.samples = list(samples)
         self.batch_size = batch_size
@@ -160,6 +176,7 @@ class MultimodalLoader:
         self.augment = augment
         self.rng = random.Random(seed)
         self.cache = cache or _VolumeCache(target_shape)
+        self.host_shard = host_shard
 
     def __len__(self) -> int:
         return (len(self.samples) + self.batch_size - 1) // self.batch_size
@@ -172,7 +189,7 @@ class MultimodalLoader:
             self.rng.shuffle(order)
         bs = self.batch_size
         for start in range(0, len(order), bs):
-            idx = order[start : start + bs]
+            idx = _host_rows(order[start : start + bs], self.host_shard)
             mri_paths = [self.samples[i][0] for i in idx]
             pet_paths = [self.samples[i][1] for i in idx]
             labels = [self.samples[i][2] for i in idx]

@@ -139,7 +139,15 @@ def make_sharded_fusion_train_step(model, mesh: Mesh, **step_kwargs):
 
 
 def place_replicated(tree, mesh: Mesh):
-    """Replicate a pytree (train state, coupling, rng key) over the mesh."""
+    """Replicate a pytree (train state, coupling, rng key) over the mesh.
+    In a multi-process group device_put cannot target non-addressable
+    shardings, so placement goes through make_array_from_process_local_data
+    (every process holds the same SPMD-consistent host value)."""
+    if jax.process_count() > 1:
+        from otfusion_tpu.parallel.multihost import replicate_global
+
+        return jax.tree_util.tree_map(
+            lambda a: replicate_global(a, mesh), tree)
     rep = replicated(mesh)
     return jax.tree_util.tree_map(lambda a: jax.device_put(a, rep), tree)
 
@@ -197,9 +205,33 @@ def _dp_wrap(raw, mesh: Mesh, batch_ndims: Sequence[int], n_rest: int,
     )
     n_dev = data_axis_size(mesh)
     n_batch = len(batch_ndims)
+    multiprocess = jax.process_count() > 1
 
     def step(state, *args):
         batch = tuple(np.asarray(a) for a in args[:n_batch])
+        if multiprocess:
+            # Multi-host SPMD: each process feeds only its row block
+            # (loader host_shard) — assemble the global batch-sharded
+            # arrays from the local rows; batches that do not divide
+            # the mesh fall back to allgather + the replicated
+            # executable, exactly like the single-host remainder.
+            from otfusion_tpu.parallel.multihost import (
+                allgather_rows,
+                global_batch_size,
+                make_global_array,
+                replicate_global,
+            )
+
+            rest = tuple(None if a is None else replicate_global(a, mesh)
+                         for a in args[n_batch:])
+            global_n = global_batch_size(batch[0].shape[0])
+            if global_n % n_dev == 0:
+                batch = tuple(
+                    make_global_array(mesh, a, global_n) for a in batch
+                )
+                return main(state, *batch, *rest)
+            batch = tuple(allgather_rows(a) for a in batch)
+            return fallback(state, *batch, *rest)
         rest = tuple(None if a is None else jax.device_put(a, rep)
                      for a in args[n_batch:])
         fn = main if batch[0].shape[0] % n_dev == 0 else fallback
