@@ -8,6 +8,7 @@ from pathlib import Path
 
 from otfusion_tpu.cli.common import (
     add_common_args,
+    apply_multihost_flag,
     add_ot_args,
     apply_device_flag,
     resolve_dtype,
@@ -36,6 +37,7 @@ def fusion_main(
     )
     add_ot_args(parser)
     args = parser.parse_args(argv)
+    apply_multihost_flag(args.multihost)
     apply_device_flag(args.device)
     set_seed(args.seed)
 

@@ -39,6 +39,12 @@ def add_common_args(parser: argparse.ArgumentParser, *, epochs: int,
                              "visible devices (batch shards over a 1-D "
                              "mesh, gradients all-reduce over ICI; "
                              "TPU-native addition)")
+    parser.add_argument("--multihost", action="store_true",
+                        help="Join a jax.distributed process group before "
+                             "backend init (coordinator/process env vars "
+                             "per JAX convention); loaders shard rows "
+                             "per host, process 0 owns artifacts "
+                             "(TPU-native addition)")
     parser.add_argument("--tp-size", type=int, default=1,
                         help="Tensor-parallel ways: with --num-devices N, "
                              "builds a 2-D (N/tp, tp) mesh; fusion-trunk "
@@ -96,6 +102,20 @@ def resolve_dtype(name: str):
     import jax.numpy as jnp
 
     return jnp.bfloat16 if name == "bfloat16" else jnp.float32
+
+
+def apply_multihost_flag(enabled: bool) -> None:
+    """Join the process group BEFORE any backend-initialising JAX call
+    (jax.distributed.initialize refuses to run after one)."""
+    if not enabled:
+        return
+    from otfusion_tpu.parallel.multihost import initialize_multihost
+
+    if not initialize_multihost():
+        raise SystemExit(
+            "--multihost set but no process group configuration found "
+            "(set JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / "
+            "JAX_PROCESS_ID)")
 
 
 def apply_device_flag(device: str) -> None:

@@ -10,6 +10,7 @@ from pathlib import Path
 
 from otfusion_tpu.cli.common import (
     add_common_args,
+    apply_multihost_flag,
     apply_device_flag,
     resolve_dtype,
     resolve_num_devices,
@@ -50,6 +51,7 @@ def main(argv=None):
     parser.add_argument("--modality", type=str, default="auto",
                         choices=["auto", "mri", "pet", "t1", "t2"])
     args = parser.parse_args(argv)
+    apply_multihost_flag(args.multihost)
     apply_device_flag(args.device)
     set_seed(args.seed)
 

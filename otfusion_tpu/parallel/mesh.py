@@ -190,17 +190,28 @@ def _dp_wrap(raw, mesh: Mesh, batch_ndims: Sequence[int], n_rest: int,
     rep = replicated(mesh)
     state_sharding = None if tp else rep
     donate_args = (0,) if donate else ()
+    # Multi-process: host code np.asarray()s step outputs (metrics,
+    # preds, features), which requires fully-addressable arrays — pin
+    # every output replicated. XLA's allgather of a (B,)-sized preds
+    # vector is noise; the TP state keeps its committed sharding (out
+    # shardings stay unspecified on the tp path, which is single-host
+    # for now).
+    out_shardings = (
+        rep if (jax.process_count() > 1 and not tp) else None
+    )
     main = jax.jit(
         raw,
         in_shardings=(state_sharding,
                       *[batch_sharded(mesh, nd) for nd in batch_ndims],
                       *[rep] * n_rest),
+        out_shardings=out_shardings,
         donate_argnums=donate_args,
     )
     fallback = jax.jit(
         raw,
         in_shardings=(state_sharding,
                       *[rep] * (len(batch_ndims) + n_rest)),
+        out_shardings=out_shardings,
         donate_argnums=donate_args,
     )
     n_dev = data_axis_size(mesh)

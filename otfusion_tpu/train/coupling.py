@@ -144,7 +144,13 @@ class CouplingService:
         self.fot_epsilon = fot_epsilon
         self.mesh = mesh
         self._pipeline = coupling_pipeline
-        if mesh is not None:
+        # The feature-sharded pipeline pins in_shardings over the whole
+        # mesh; in a multi-process group host numpy inputs cannot feed
+        # non-addressable shardings directly, so multi-host runs use the
+        # replicated pipeline (identical numerics; the solve is 36 ms).
+        import jax as _jax
+
+        if mesh is not None and _jax.process_count() == 1:
             from otfusion_tpu.parallel import make_sharded_coupling_pipeline
 
             self._pipeline = make_sharded_coupling_pipeline(mesh)

@@ -75,9 +75,38 @@ class EpochResult:
     metrics: Dict[str, float]
 
 
+def _is_primary() -> bool:
+    """Artifact-owning process: process 0 (single-process runs always
+    qualify). Multi-host runs write results.txt / checkpoints / plots
+    once, not once per host."""
+    return jax.process_index() == 0
+
+
+def _barrier(name: str) -> None:
+    """Cross-process sync point (no-op single-process) — used before
+    restoring a checkpoint another process may still be writing."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
+class _NullWriter:
+    """results.txt stand-in on non-primary hosts."""
+
+    def epoch_row(self, *a, **k):
+        pass
+
+    def summary(self, *a, **k):
+        pass
+
+
 def _append_jsonl(path, record):
     """Structured per-epoch metrics stream (one JSON object per line) —
-    the machine-readable complement of results.txt."""
+    the machine-readable complement of results.txt. Primary-process only
+    under multi-host."""
+    if not _is_primary():
+        return
     with open(path, "a") as f:
         f.write(json.dumps(record, default=float) + "\n")
 
@@ -100,6 +129,17 @@ class _MaybeProfile:
         return False
 
 
+def _global_n(local_n: int) -> int:
+    """Global batch size: the step's loss/correct reduce over the GLOBAL
+    batch, so metric weighting must too. Host-local loaders (multi-host
+    ``host_shard``) see only their row block; sum the counts."""
+    if jax.process_count() > 1:
+        from otfusion_tpu.parallel.multihost import global_batch_size
+
+        return global_batch_size(local_n)
+    return int(local_n)
+
+
 def _run_train_epoch(train_step, state, loader, extra_args, rng_base):
     total_loss, total_correct, total_n = 0.0, 0, 0
     # Batches stay host numpy: the jitted step transfers them under its
@@ -108,7 +148,7 @@ def _run_train_epoch(train_step, state, loader, extra_args, rng_base):
     for i, batch in enumerate(prefetch(iter(loader))):
         rng = jax.random.fold_in(rng_base, i)
         state, met = train_step(state, *batch, *extra_args, rng)
-        n = int(batch[-1].shape[0])
+        n = _global_n(batch[-1].shape[0])
         total_loss += float(met["loss"]) * n
         total_correct += int(met["correct"])
         total_n += n
@@ -121,15 +161,24 @@ def _run_eval_epoch(eval_step, state, loader, extra_args,
     preds: List[int] = []
     targets: List[int] = []
     logits_all = []
+    multiproc = jax.process_count() > 1
     for batch in prefetch(iter(loader)):
         arrays = batch
         out = eval_step(state, *arrays, *extra_args)
-        n = int(arrays[-1].shape[0])
+        n = _global_n(arrays[-1].shape[0])
         total_loss += float(out["loss"]) * n
         total_correct += int(out["correct"])
         total_n += n
+        # preds come back replicated (global batch order); targets are
+        # host-local rows under multi-host loading — gather them so the
+        # confusion metrics see the same global order on every process.
         preds.extend(np.asarray(out["preds"]).tolist())
-        targets.extend(np.asarray(arrays[-1]).tolist())
+        if multiproc:
+            from otfusion_tpu.parallel.multihost import allgather_rows
+
+            targets.extend(allgather_rows(np.asarray(arrays[-1])).tolist())
+        else:
+            targets.extend(np.asarray(arrays[-1]).tolist())
         if collect_logits:
             logits_all.append(np.asarray(out["logits"]))
     logits = np.concatenate(logits_all) if logits_all else None
@@ -199,16 +248,25 @@ def run_fusion_training(
     cache = _VolumeCache(target_shape, num_workers=num_workers)
     train_samples = [samples[i] for i in train_idx]
     val_samples = [samples[i] for i in val_idx]
+    # Multi-host: each process walks the same seeded batch order but
+    # loads only its contiguous row block (parallel/multihost.py).
+    host_shard = None
+    if jax.process_count() > 1:
+        from otfusion_tpu.parallel.multihost import host_shard_spec
+
+        host_shard = host_shard_spec()
     train_loader = MultimodalLoader(
         train_samples, target_shape, batch_size, shuffle=True,
-        augment=augment, seed=seed, cache=cache,
+        augment=augment, seed=seed, cache=cache, host_shard=host_shard,
     )
     # Deterministic-order loader for feature extraction (no augmentation).
     feat_loader = MultimodalLoader(
         train_samples, target_shape, batch_size, shuffle=False, cache=cache,
+        host_shard=host_shard,
     )
     val_loader = MultimodalLoader(
         val_samples, target_shape, batch_size, shuffle=False, cache=cache,
+        host_shard=host_shard,
     )
 
     model = MultimodalOTFusion(
@@ -294,9 +352,10 @@ def run_fusion_training(
             mesh=mesh,
         )
 
-    writer = ResultsWriter(
-        results_file, results_title, config_lines or {}, style="fusion",
-        append=resume,
+    writer = (
+        ResultsWriter(results_file, results_title, config_lines or {},
+                      style="fusion", append=resume)
+        if _is_primary() else _NullWriter()
     )
     scheduler = ReduceLROnPlateau(lr, factor=0.5, patience=5)
     best_val_loss = float("inf")
@@ -368,6 +427,8 @@ def run_fusion_training(
             best_val_loss = val_loss
             best_summary = {"epoch": epoch, "val_loss": val_loss,
                             "val_acc": val_acc, **metrics}
+            # collective under multi-host: every process participates
+            # (orbax barriers internally); primary owns the filesystem
             save_checkpoint(model_dir, state, best_summary)
 
         new_lr = scheduler.step(val_loss)
@@ -388,18 +449,21 @@ def run_fusion_training(
     writer.summary(best_val_loss, best_summary, model_dir)
 
     # Best-model final evaluation + artifacts (attn:1316-1356).
+    _barrier("restore-best")  # primary may still be flushing the ckpt
     state = _place(restore_checkpoint(model_dir, state))
     final_tv = compute_tv() if needs_tv else None
     _, _, preds, targets, logits = _run_eval_epoch(
         eval_step, state, val_loader, (final_tv,), collect_logits=True,
     )
-    save_confusion_matrix_png(
-        targets, preds, class_names,
-        os.path.join(save_path, "confusion_matrix.png"),
-    )
-    if variant == "per_epoch_attn" and logits is not None and len(logits) > 3:
-        save_tsne_png(logits, targets,
-                      os.path.join(save_path, "tsne_best_val.png"))
+    if _is_primary():
+        save_confusion_matrix_png(
+            targets, preds, class_names,
+            os.path.join(save_path, "confusion_matrix.png"),
+        )
+        if (variant == "per_epoch_attn" and logits is not None
+                and len(logits) > 3):
+            save_tsne_png(logits, targets,
+                          os.path.join(save_path, "tsne_best_val.png"))
 
     return {
         "best_val_loss": best_val_loss,
@@ -454,13 +518,19 @@ def run_unimodal_training(
         return place_state(s, mesh) if mesh is not None else s
 
     cache = _VolumeCache(target_shape, num_workers=num_workers)
+    host_shard = None
+    if jax.process_count() > 1:
+        from otfusion_tpu.parallel.multihost import host_shard_spec
+
+        host_shard = host_shard_spec()
     train_loader = Loader(
         [samples[i] for i in train_idx], target_shape, batch_size,
         shuffle=True, augment=augment, seed=seed, cache=cache,
+        host_shard=host_shard,
     )
     val_loader = Loader(
         [samples[i] for i in val_idx], target_shape, batch_size,
-        shuffle=False, cache=cache,
+        shuffle=False, cache=cache, host_shard=host_shard,
     )
 
     model = ResNet3DClassifier(depth=model_depth, num_classes=num_classes,
@@ -479,8 +549,11 @@ def run_unimodal_training(
         train_step = make_unimodal_train_step(model, donate=True)
         eval_step = make_unimodal_eval_step(model)
 
-    writer = ResultsWriter(results_file, results_title, config_lines or {},
-                           style="unimodal", append=resume)
+    writer = (
+        ResultsWriter(results_file, results_title, config_lines or {},
+                      style="unimodal", append=resume)
+        if _is_primary() else _NullWriter()
+    )
     best_val_loss = float("inf")
     best_summary = None
     rng_base = jax.random.key(seed + 1)
@@ -530,6 +603,7 @@ def run_unimodal_training(
             best_val_loss = val_loss
             best_summary = {"epoch": epoch, "val_loss": val_loss,
                             "val_acc": val_acc, **metrics}
+            # collective under multi-host (see fusion loop note)
             save_checkpoint(model_dir, state, best_summary)
 
         save_checkpoint(
@@ -543,23 +617,32 @@ def run_unimodal_training(
 
     # Best-model artifacts: confusion matrix + t-SNE of pooled features
     # (3D_resnet.py:1016-1047).
+    _barrier("restore-best")
     state = _place(restore_checkpoint(model_dir, state))
     feats_all, preds, targets = [], [], []
+    multiproc = jax.process_count() > 1
     for batch in val_loader:
         arrays = batch
         out = eval_step(state, *arrays)
         preds.extend(np.asarray(out["preds"]).tolist())
-        targets.extend(np.asarray(arrays[-1]).tolist())
+        if multiproc:
+            from otfusion_tpu.parallel.multihost import allgather_rows
+
+            targets.extend(allgather_rows(np.asarray(arrays[-1])).tolist())
+        else:
+            targets.extend(np.asarray(arrays[-1]).tolist())
         feats_all.append(np.asarray(out["features"]))
-    save_confusion_matrix_png(
-        targets, preds, class_names,
-        os.path.join(save_path, "confusion_matrix.png"),
-    )
-    feats = np.concatenate(feats_all) if feats_all else None
-    if feats is not None and len(feats) > 3:
-        save_tsne_png(feats, targets,
-                      os.path.join(save_path, "tsne_best_val.png"),
-                      title="t-SNE of Validation Predictions (Best 3D ResNet)")
+    if _is_primary():
+        save_confusion_matrix_png(
+            targets, preds, class_names,
+            os.path.join(save_path, "confusion_matrix.png"),
+        )
+        feats = np.concatenate(feats_all) if feats_all else None
+        if feats is not None and len(feats) > 3:
+            save_tsne_png(
+                feats, targets,
+                os.path.join(save_path, "tsne_best_val.png"),
+                title="t-SNE of Validation Predictions (Best 3D ResNet)")
 
     return {
         "best_val_loss": best_val_loss,

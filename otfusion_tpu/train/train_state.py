@@ -15,6 +15,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax.training import train_state
 
@@ -56,7 +57,16 @@ def set_learning_rate(state: FusionTrainState, lr: float) -> FusionTrainState:
     old = opt_state.hyperparams["learning_rate"]
     new = jnp.asarray(lr, jnp.float32)
     if hasattr(old, "sharding"):
-        new = jax.device_put(new, old.sharding)
+        sharding = old.sharding
+        if getattr(sharding, "is_fully_addressable", True):
+            new = jax.device_put(new, sharding)
+        else:
+            # Multi-host: device_put cannot target non-addressable
+            # shardings (and its cross-process value assert can pair up
+            # with unrelated calls when processes run primary-only code)
+            # — assemble the replicated global scalar directly.
+            new = jax.make_array_from_process_local_data(
+                sharding, np.asarray(new), np.shape(new))
     opt_state.hyperparams["learning_rate"] = new
     return state.replace(opt_state=opt_state)
 

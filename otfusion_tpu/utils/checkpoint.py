@@ -22,7 +22,17 @@ import orbax.checkpoint as ocp
 
 
 def _to_host(tree):
-    return jax.tree_util.tree_map(np.asarray, tree)
+    def pull(a):
+        # Multi-host: a replicated global array is not fully addressable
+        # from one process — np.asarray would either raise or issue
+        # cross-process fetches that desynchronise the primary-only save
+        # path. The local shard of a replicated array IS the global
+        # value; read that.
+        if isinstance(a, jax.Array) and not a.is_fully_addressable:
+            return np.asarray(a.addressable_data(0))
+        return np.asarray(a)
+
+    return jax.tree_util.tree_map(pull, tree)
 
 
 def save_checkpoint(
@@ -40,6 +50,20 @@ def save_checkpoint(
     import shutil
 
     directory = Path(directory).resolve()
+    # Orbax checkpointing is COLLECTIVE under a jax.distributed group
+    # (internal sync_global_processes barriers): every process must call
+    # this function; filesystem mutations around the orbax save run on
+    # the primary only (shared-filesystem assumption, standard multihost
+    # checkpointing layout).
+    primary = jax.process_index() == 0
+    multiproc = jax.process_count() > 1
+
+    def _sync(tag):
+        if multiproc:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"otf-ckpt-{tag}")
+
     ckptr = ocp.StandardCheckpointer()
     payload = {
         "params": _to_host(state.params),
@@ -57,24 +81,29 @@ def save_checkpoint(
     # Crash recovery: a preemption between the two renames below leaves no
     # `directory` but a complete `.old` — promote it back FIRST, otherwise
     # the stale-cleanup would rmtree the only surviving checkpoint.
-    if not directory.exists() and old_dir.exists():
-        os.rename(old_dir, directory)
-    for stale in (tmp_dir, old_dir):
-        if stale.exists():
-            shutil.rmtree(stale)
+    if primary:
+        if not directory.exists() and old_dir.exists():
+            os.rename(old_dir, directory)
+        for stale in (tmp_dir, old_dir):
+            if stale.exists():
+                shutil.rmtree(stale)
+    _sync("pre-save")
     ckptr.save(tmp_dir, payload)
     ckptr.wait_until_finished()
-    if directory.exists():
-        os.rename(directory, old_dir)
-    os.rename(tmp_dir, directory)
-    if old_dir.exists():
-        shutil.rmtree(old_dir)
-    if metadata is not None:
-        meta_path = directory.parent / (directory.name + ".meta.json")
-        tmp_meta = meta_path.with_suffix(".json.tmp")
-        with open(tmp_meta, "w") as f:
-            json.dump(metadata, f, indent=2, default=float)
-        os.replace(tmp_meta, meta_path)
+    _sync("post-save")
+    if primary:
+        if directory.exists():
+            os.rename(directory, old_dir)
+        os.rename(tmp_dir, directory)
+        if old_dir.exists():
+            shutil.rmtree(old_dir)
+        if metadata is not None:
+            meta_path = directory.parent / (directory.name + ".meta.json")
+            tmp_meta = meta_path.with_suffix(".json.tmp")
+            with open(tmp_meta, "w") as f:
+                json.dump(metadata, f, indent=2, default=float)
+            os.replace(tmp_meta, meta_path)
+    _sync("post-swap")
 
 
 def _recover_dir(directory: Path) -> Path:

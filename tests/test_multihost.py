@@ -87,6 +87,9 @@ result = {"proc": proc_id, "primary": is_primary(),
           "loss_even": loss_even, "loss_uneven": loss_uneven}
 with open(out_path, "w") as f:
     json.dump(result, f)
+from jax.experimental import multihost_utils
+multihost_utils.sync_global_devices("worker-done")
+jax.distributed.shutdown()
 print("WORKER-OK", json.dumps(result))
 """
 
@@ -198,3 +201,146 @@ def test_loader_host_shard_slices_batches():
     assert sum(parts, []) == idx
     assert [len(p) for p in parts] == [3, 3, 2, 2]
     assert _host_rows(idx, None) == idx
+
+
+TRAINER_WORKER = r"""
+import json, os, sys, time
+proc_id = int(sys.argv[1])
+out_path = sys.argv[2]
+shared = sys.argv[3]
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, os.environ["OTFUSION_REPO"])
+
+from otfusion_tpu.parallel import initialize_multihost
+
+# process 0 builds the shared cohort; 1 waits for the marker
+tree_dir = os.path.join(shared, "adni")
+marker = os.path.join(shared, "TREE_READY")
+if proc_id == 0:
+    from otfusion_tpu.data import make_synthetic_adni
+    make_synthetic_adni(tree_dir, n_per_class=4, shape=(8, 8, 8))
+    open(marker, "w").write("ok")
+else:
+    for _ in range(600):
+        if os.path.exists(marker):
+            break
+        time.sleep(0.5)
+    assert os.path.exists(marker)
+
+assert initialize_multihost(
+    coordinator_address=os.environ["TEST_COORD"],
+    num_processes=2, process_id=proc_id,
+)
+
+from otfusion_tpu.data.datasets import (
+    CLASS_NAMES_MRI_BINARY, CLASS_NAMES_PET_BINARY, MultimodalNiftiDataset)
+from otfusion_tpu.train.loop import run_fusion_training
+
+ds = MultimodalNiftiDataset(
+    root_dir=tree_dir, class_names_a=CLASS_NAMES_MRI_BINARY,
+    class_names_b=CLASS_NAMES_PET_BINARY)
+n = len(ds.samples)
+val_idx = list(range(0, n, 4))
+train_idx = [i for i in range(n) if i not in val_idx]
+result = run_fusion_training(
+    samples=ds.samples, train_idx=train_idx, val_idx=val_idx,
+    class_names=CLASS_NAMES_MRI_BINARY, variant="base", model_depth=10,
+    target_shape=(8, 8, 8), batch_size=8, lr=1e-3, epochs=2, seed=0,
+    save_path=os.path.join(shared, "run"), max_jax_samples=4,
+    gw_max_iterations=20, sinkhorn_max_iterations=50,
+    progress=False, num_devices="auto",
+)
+hist = [
+    {"train_loss": float(e.train_loss), "val_loss": float(e.val_loss),
+     "val_acc": float(e.val_acc)}
+    for e in result["history"]
+]
+with open(out_path, "w") as f:
+    json.dump({"proc": proc_id, "history": hist,
+               "best_val_loss": float(result["best_val_loss"])}, f)
+# join the shutdown barrier explicitly — exiting early races the other
+# process's coordination-service heartbeat
+from jax.experimental import multihost_utils
+multihost_utils.sync_global_devices("trainer-done")
+jax.distributed.shutdown()
+print("TRAINER-WORKER-OK")
+"""
+
+
+@pytest.mark.slow
+def test_two_process_real_trainer(tmp_path):
+    """The REAL fusion trainer across a 2-process group: host-sharded
+    loaders, global metric weighting, primary-only artifacts, barrier
+    before the best-checkpoint restore. Both processes must agree with
+    each other (SPMD) and with the 8-device single-process run."""
+    shared = tmp_path / "shared"
+    shared.mkdir()
+    for attempt in range(3):
+        port = _free_port()
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+        env["TEST_COORD"] = f"localhost:{port}"
+        env["OTFUSION_REPO"] = REPO
+        env["GLOO_SOCKET_IFNAME"] = "lo"
+        script = tmp_path / "trainer_worker.py"
+        script.write_text(TRAINER_WORKER)
+        outs = [tmp_path / f"trainer_out{attempt}_{p}.json" for p in (0, 1)]
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(script), str(p), str(outs[p]),
+                 str(shared)],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True, cwd=REPO,
+            )
+            for p in (0, 1)
+        ]
+        logs = [p.communicate(timeout=900)[0] for p in procs]
+        ok = all(p.returncode == 0 for p in procs)
+        if ok:
+            break
+        if not any("Connect timeout" in log or "Gloo" in log
+                   for log in logs):
+            break
+    assert ok, logs[0][-2500:] + logs[1][-2500:]
+    results = [json.loads(o.read_text()) for o in outs]
+    for e0, e1 in zip(results[0]["history"], results[1]["history"]):
+        assert e0["train_loss"] == pytest.approx(e1["train_loss"], rel=1e-6)
+        assert e0["val_loss"] == pytest.approx(e1["val_loss"], rel=1e-6)
+    # primary wrote the artifacts exactly once
+    assert (shared / "run" / "results.txt").exists()
+    assert (shared / "run" / "confusion_matrix.png").exists()
+
+    # single-process reference over the same cohort
+    from otfusion_tpu.data.datasets import (
+        CLASS_NAMES_MRI_BINARY,
+        CLASS_NAMES_PET_BINARY,
+        MultimodalNiftiDataset,
+    )
+    from otfusion_tpu.train.loop import run_fusion_training
+
+    ds = MultimodalNiftiDataset(
+        root_dir=str(shared / "adni"),
+        class_names_a=CLASS_NAMES_MRI_BINARY,
+        class_names_b=CLASS_NAMES_PET_BINARY)
+    n = len(ds.samples)
+    val_idx = list(range(0, n, 4))
+    train_idx = [i for i in range(n) if i not in val_idx]
+    ref = run_fusion_training(
+        samples=ds.samples, train_idx=train_idx, val_idx=val_idx,
+        class_names=CLASS_NAMES_MRI_BINARY, variant="base",
+        model_depth=10, target_shape=(8, 8, 8), batch_size=8, lr=1e-3,
+        epochs=2, seed=0, save_path=str(tmp_path / "ref"),
+        max_jax_samples=4, gw_max_iterations=20,
+        sinkhorn_max_iterations=50, progress=False, num_devices=8,
+    )
+    for got, want in zip(results[0]["history"], ref["history"]):
+        assert got["train_loss"] == pytest.approx(
+            float(want.train_loss), rel=5e-3)
+        assert got["val_loss"] == pytest.approx(
+            float(want.val_loss), rel=5e-3)
