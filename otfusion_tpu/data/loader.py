@@ -116,6 +116,34 @@ def _augment_np(vol: np.ndarray, rng: random.Random) -> np.ndarray:
     return np.ascontiguousarray(vol)
 
 
+def _augment_rng(seed: int, epoch: int, sample_idx: int,
+                 stream: int = 0) -> random.Random:
+    """Fresh RNG per (seed, epoch, sample[, modality stream]).
+
+    Augmentation randomness must NOT consume the shuffle RNG's stream:
+    under multi-host loading each process augments only its own row
+    block, so shared-stream draws desynchronise the next epoch's shuffle
+    across hosts whenever local row counts differ (ADVICE.md round-2
+    finding 2) — global batches would then be assembled from DIFFERENT
+    permutations per host. Keying on the global sample index keeps every
+    host's shuffle state identical and makes the augmentation itself
+    independent of which host loads the row."""
+    return random.Random(
+        (seed * 2654435761 + epoch * 97003 + sample_idx * 31 + stream)
+        % (2 ** 63)
+    )
+
+
+def _stack(vols: List[np.ndarray], target_shape) -> np.ndarray:
+    """np.stack that tolerates an empty host row block (multi-host final
+    partial batches smaller than the process count leave trailing hosts
+    with zero rows — they must still yield a correctly-shaped batch for
+    the allgather fallback, ADVICE.md round-2 finding 4)."""
+    if not vols:
+        return np.empty((0, *target_shape, 1), np.float32)
+    return np.stack(vols)
+
+
 class Loader:
     """Unimodal loader over (path, label) samples."""
 
@@ -134,14 +162,18 @@ class Loader:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.augment = augment
-        self.rng = random.Random(seed)
+        self.seed = seed
+        self.rng = random.Random(seed)  # shuffle stream ONLY (see
+        # _augment_rng: augmentation draws live on their own keys)
         self.cache = cache or _VolumeCache(target_shape)
         self.host_shard = host_shard
+        self._epoch = 0
 
     def __len__(self) -> int:
         return (len(self.samples) + self.batch_size - 1) // self.batch_size
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        self._epoch += 1
         order = list(range(len(self.samples)))
         if self.shuffle:
             self.rng.shuffle(order)
@@ -152,8 +184,12 @@ class Loader:
             labels = [self.samples[i][1] for i in idx]
             vols = self.cache.get_many(paths)
             if self.augment:
-                vols = [_augment_np(v, self.rng) for v in vols]
-            yield np.stack(vols), np.asarray(labels, np.int32)
+                vols = [
+                    _augment_np(v, _augment_rng(self.seed, self._epoch, i))
+                    for v, i in zip(vols, idx)
+                ]
+            yield (_stack(vols, self.cache.target_shape),
+                   np.asarray(labels, np.int32))
 
 
 class MultimodalLoader:
@@ -174,9 +210,11 @@ class MultimodalLoader:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.augment = augment
-        self.rng = random.Random(seed)
+        self.seed = seed
+        self.rng = random.Random(seed)  # shuffle stream ONLY
         self.cache = cache or _VolumeCache(target_shape)
         self.host_shard = host_shard
+        self._epoch = 0
 
     def __len__(self) -> int:
         return (len(self.samples) + self.batch_size - 1) // self.batch_size
@@ -184,6 +222,7 @@ class MultimodalLoader:
     def __iter__(
         self,
     ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        self._epoch += 1
         order = list(range(len(self.samples)))
         if self.shuffle:
             self.rng.shuffle(order)
@@ -197,10 +236,18 @@ class MultimodalLoader:
             mri = vols[: len(idx)]
             pet = vols[len(idx) :]
             if self.augment:
-                mri = [_augment_np(v, self.rng) for v in mri]
-                pet = [_augment_np(v, self.rng) for v in pet]
+                # per-modality independent flips (reference _augment,
+                # MRI_PET_OT.py:342-374): distinct streams per modality
+                mri = [
+                    _augment_np(v, _augment_rng(self.seed, self._epoch, i, 0))
+                    for v, i in zip(mri, idx)
+                ]
+                pet = [
+                    _augment_np(v, _augment_rng(self.seed, self._epoch, i, 1))
+                    for v, i in zip(pet, idx)
+                ]
             yield (
-                np.stack(mri),
-                np.stack(pet),
+                _stack(mri, self.cache.target_shape),
+                _stack(pet, self.cache.target_shape),
                 np.asarray(labels, np.int32),
             )

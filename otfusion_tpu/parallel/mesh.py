@@ -39,7 +39,23 @@ def resolve_mesh(
     mesh), ``0`` or ``"auto"`` = all visible devices, N = first N.
     ``tp_size > 1`` splits the chips into a 2-D (data, model) mesh —
     batches shard over ``data``, fusion-trunk Dense kernels over
-    ``model``. Returns None when only one device would participate."""
+    ``model``. Returns None when only one device would participate.
+
+    Multi-process groups MUST span every global device: a mesh over a
+    subset (or no mesh at all) would silently train one divergent model
+    per process while weighting local losses by global counts
+    (ADVICE.md round-2 finding 3). The --num-devices default therefore
+    implies "auto" under multi-host, and any explicit N that does not
+    cover the group raises."""
+    if jax.process_count() > 1:
+        n_global = jax.device_count()
+        if num_devices not in (None, 0, 1, "auto") \
+                and int(num_devices) != n_global:
+            raise ValueError(
+                f"--num-devices {num_devices} in a "
+                f"{jax.process_count()}-process group: the mesh must "
+                f"cover all {n_global} global devices (use 'auto')")
+        num_devices = "auto"
     if num_devices in (None, 1) and tp_size <= 1:
         return None
     devices = jax.devices()
@@ -311,12 +327,21 @@ def make_sharded_coupling_pipeline(mesh: Mesh, axis: str = DATA_AXIS):
     Requires d % n_devices == 0 (true at production: 2048 over 8); the
     caller (CouplingService) falls back to the replicated pipeline
     otherwise.
+
+    Works across process boundaries too: every process holds the same
+    global numpy groups (the feature step returns the replicated global
+    batch), so each assembles the feature-sharded inputs from its own
+    addressable shards via ``jax.make_array_from_callback``. Under
+    multi-process the returned Tv is pinned replicated (host code
+    np.asarray()s it for the train step's rest placement); single-process
+    keeps the row-sharded layout.
     """
     from otfusion_tpu.train.coupling import coupling_pipeline_impl
 
     feat = NamedSharding(mesh, P(None, None, axis))
     rep = NamedSharding(mesh, P())
-    row = NamedSharding(mesh, P(axis, None))
+    multiprocess = jax.process_count() > 1
+    row = rep if multiprocess else NamedSharding(mesh, P(axis, None))
     n_dev = data_axis_size(mesh)
 
     # pjit rejects kwargs when in_shardings is set, and the impl's
@@ -339,6 +364,16 @@ def make_sharded_coupling_pipeline(mesh: Mesh, axis: str = DATA_AXIS):
         out_shardings=(row, rep, rep),
     )
 
+    def _place(host_np, sharding):
+        """Host numpy feeds in_shardings directly in a single process;
+        across processes each host materialises only its addressable
+        shards of the (identical) global value."""
+        if not multiprocess:
+            return np.asarray(host_np)
+        host_np = np.asarray(host_np)
+        return jax.make_array_from_callback(
+            host_np.shape, sharding, lambda idx: host_np[idx])
+
     def pipeline(pet_groups, mri_groups, pet_mask, mri_mask, *,
                  epsilon=5e-3, gw_max_iterations=2000,
                  sinkhorn_max_iterations=2000, fot_epsilon=5e-3,
@@ -348,8 +383,8 @@ def make_sharded_coupling_pipeline(mesh: Mesh, axis: str = DATA_AXIS):
                 f"feature dims {pet_groups.shape[-1]}/"
                 f"{mri_groups.shape[-1]} not divisible by mesh size "
                 f"{n_dev}")
-        return jitted(np.asarray(pet_groups), np.asarray(mri_groups),
-                      np.asarray(pet_mask), np.asarray(mri_mask),
+        return jitted(_place(pet_groups, feat), _place(mri_groups, feat),
+                      _place(pet_mask, rep), _place(mri_mask, rep),
                       epsilon, gw_max_iterations,
                       sinkhorn_max_iterations, fot_epsilon,
                       fot_max_iterations)

@@ -141,6 +141,17 @@ def replicate_global(value, mesh):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     rep = NamedSharding(mesh, P())
+    if isinstance(value, jax.Array) and not value.is_fully_addressable:
+        # Already a global array (e.g. the coupling pipeline's replicated
+        # Tv): np.asarray would raise on non-addressable shards. A
+        # replicated array's local shard IS the global value — re-place
+        # from it; anything else must be resharded by its producer.
+        if not value.sharding.is_fully_replicated:
+            raise ValueError(
+                "replicate_global got a non-replicated global array "
+                f"(sharding {value.sharding}); reshard it at the "
+                "producer")
+        value = np.asarray(value.addressable_data(0))
     if jnp.issubdtype(getattr(value, "dtype", None), jax.dtypes.prng_key):
         # typed PRNG keys can't round-trip through numpy — place the
         # underlying uint32 data and re-wrap

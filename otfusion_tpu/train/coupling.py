@@ -144,13 +144,11 @@ class CouplingService:
         self.fot_epsilon = fot_epsilon
         self.mesh = mesh
         self._pipeline = coupling_pipeline
-        # The feature-sharded pipeline pins in_shardings over the whole
-        # mesh; in a multi-process group host numpy inputs cannot feed
-        # non-addressable shardings directly, so multi-host runs use the
-        # replicated pipeline (identical numerics; the solve is 36 ms).
-        import jax as _jax
-
-        if mesh is not None and _jax.process_count() == 1:
+        # The feature-sharded pipeline also serves multi-process groups:
+        # inputs are assembled per-shard via jax.make_array_from_callback
+        # (every process holds the identical global numpy groups), see
+        # parallel/mesh.py:make_sharded_coupling_pipeline.
+        if mesh is not None:
             from otfusion_tpu.parallel import make_sharded_coupling_pipeline
 
             self._pipeline = make_sharded_coupling_pipeline(mesh)
@@ -159,15 +157,31 @@ class CouplingService:
     def compute(self, state, batches: Iterable) -> jnp.ndarray:
         """Extract features over ``batches`` of (mri, pet, labels) and
         return the device-resident (d_pet, d_mri) feature plan."""
+        multiproc = jax.process_count() > 1
         mri_feats, pet_feats, labels = [], [], []
         for mri, pet, lbl in batches:
             mf, pf = self.feature_extract_step(state, mri, pet)
             mri_feats.append(np.asarray(mf))
             pet_feats.append(np.asarray(pf))
-            labels.append(np.asarray(lbl))
+            if multiproc:
+                # the DP-wrapped feature step returns the GLOBAL batch
+                # (replicated) while the host-sharded loader yields only
+                # this host's rows — gather labels to the same global
+                # per-batch row order (rows concatenate in process
+                # order, matching make_array_from_process_local_data).
+                from otfusion_tpu.parallel.multihost import allgather_rows
+
+                labels.append(allgather_rows(np.asarray(lbl)))
+            else:
+                labels.append(np.asarray(lbl))
         mri_all = np.concatenate(mri_feats)
         pet_all = np.concatenate(pet_feats)
         y = np.concatenate(labels)
+        if len(y) != len(mri_all):
+            raise AssertionError(
+                f"feature/label row mismatch: {len(mri_all)} features vs "
+                f"{len(y)} labels — the coupling must see the whole train "
+                "set in one consistent order")
 
         mri_g, mri_m = group_and_pad(mri_all, y, self.n_labels, self.cap)
         pet_g, pet_m = group_and_pad(pet_all, y, self.n_labels, self.cap)

@@ -230,3 +230,57 @@ def test_loader_augment_determinism(adni_tree):
     b1 = next(iter(l1))[0]
     b2 = next(iter(l2))[0]
     np.testing.assert_allclose(b1, b2)
+
+
+def test_loader_shuffle_immune_to_host_shard_and_augment(adni_tree):
+    """Round-2 ADVICE finding 2: augmentation draws must not consume the
+    shuffle RNG. Hosts with different local row counts (host_shard) must
+    keep identical global shuffle orders in every later epoch."""
+    ds = NiftiDataset(str(adni_tree))
+    # bs=3 over 8 samples -> final batch of 2 rows over 2 "hosts" gives
+    # host0 1 row, host1 1 row; with 3 hosts the remainder leaves host2
+    # with zero rows in some batches -> unequal augment draw counts.
+    loaders = [
+        Loader(ds.samples, (8, 8, 8), batch_size=3, shuffle=True,
+               augment=True, seed=7, host_shard=(p, 3))
+        for p in range(3)
+    ]
+    full = Loader(ds.samples, (8, 8, 8), batch_size=3, shuffle=True,
+                  augment=True, seed=7)
+    for epoch in range(3):
+        per_host = [[b[1].tolist() for b in ld] for ld in loaders]
+        global_batches = [b[1].tolist() for b in full]
+        # concatenating host row blocks in process order must rebuild
+        # exactly the global batch, epoch after epoch
+        rebuilt = [sum(rows, []) for rows in zip(*per_host)]
+        assert rebuilt == global_batches, f"desync at epoch {epoch}"
+
+
+def test_loader_augment_independent_of_host(adni_tree):
+    """The augmentation applied to a sample must not depend on which
+    host loads it (keyed on (seed, epoch, sample index))."""
+    ds = NiftiDataset(str(adni_tree))
+    full = Loader(ds.samples, (8, 8, 8), batch_size=4, augment=True,
+                  seed=11)
+    h0 = Loader(ds.samples, (8, 8, 8), batch_size=4, augment=True,
+                seed=11, host_shard=(0, 2))
+    b_full = [b[0] for b in full]
+    b_h0 = [b[0] for b in h0]
+    for fb, hb in zip(b_full, b_h0):
+        np.testing.assert_allclose(fb[: hb.shape[0]], hb)
+
+
+def test_loader_empty_host_block_yields_zero_rows(adni_tree):
+    """Round-2 ADVICE finding 4: a host whose slice of the final partial
+    batch is empty must yield correctly-shaped zero-row arrays, not
+    crash on np.stack([])."""
+    ds = MultimodalNiftiDataset(str(adni_tree))
+    # 4 pairs, bs=3 -> final batch of 1 row; host 1 of 2 gets 0 rows.
+    loader = MultimodalLoader(ds.samples[:4], (8, 8, 8), batch_size=3,
+                              augment=True, host_shard=(1, 2))
+    batches = list(loader)
+    mri, pet, labels = batches[-1]
+    assert mri.shape == (0, 8, 8, 8, 1)
+    assert pet.shape == (0, 8, 8, 8, 1)
+    assert labels.shape == (0,)
+    assert labels.dtype == np.int32
