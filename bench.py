@@ -121,9 +121,13 @@ def bench_coupling():
     return tpu_time, cpu_time
 
 
-def bench_train_step(depth=101, batch=8, side=128):
-    """Flagship train step (3-token OT-attention fusion, dual 3D
-    ResNet-depth backbones, bf16, remat) at the production shape.
+def bench_train_step(depth=101, batch=8, side=128,
+                     variant="per_epoch_attn", s2d_stem=False):
+    """Fusion train step at the production shape — flagship
+    (per_epoch_attn: 3-token OT-attention, dual ResNet backbones, bf16)
+    by default; ``variant="base"`` times the IN-STEP per-batch FOT solve
+    the reference pays a host round-trip for (MRI_PET_OT.py:667-697);
+    ``s2d_stem=True`` times the space-to-depth stem (perf_notes lever 1).
     Returns (step_seconds, samples_per_s, mfu, flops_per_step)."""
     import jax
     import jax.numpy as jnp
@@ -137,8 +141,8 @@ def bench_train_step(depth=101, batch=8, side=128):
     # with donated state; remat costs ~26% (735 vs 581 ms, measured
     # 2026-08 on a quiet chip) and is only needed at larger batches.
     model = MultimodalOTFusion(
-        num_classes=2, depth=depth, variant="per_epoch_attn",
-        dtype=jnp.bfloat16, remat=False,
+        num_classes=2, depth=depth, variant=variant,
+        dtype=jnp.bfloat16, remat=False, s2d_stem=s2d_stem,
     )
     d = feature_dim(depth)
     rng = np.random.default_rng(1)
@@ -149,7 +153,8 @@ def bench_train_step(depth=101, batch=8, side=128):
     tv = jnp.full((d, d), 1.0 / (d * d), jnp.float32)
     state = create_train_state(model, jax.random.key(0), (mri, pet), 1e-4,
                                t_feature=tv)
-    step = make_fusion_train_step(model, donate=True)
+    step = make_fusion_train_step(model, donate=True,
+                                  in_batch_fot=(variant == "base"))
     key = jax.random.key(1)
 
     # Analytic FLOPs from XLA's own cost model of the lowered step
@@ -157,7 +162,8 @@ def bench_train_step(depth=101, batch=8, side=128):
     flops = None
     try:
         cost = jax.jit(
-            make_fusion_train_step(model, donate=False)
+            make_fusion_train_step(model, donate=False,
+                                   in_batch_fot=(variant == "base"))
         ).lower(state, mri, pet, labels, tv, key).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
@@ -188,7 +194,8 @@ def bench_train_step(depth=101, batch=8, side=128):
                 1.97e14)
     mfu = (flops / step_s / peak) if flops else None
     print(
-        f"# train step depth{depth} B{batch} @{side}^3 bf16: "
+        f"# train step {variant}{' s2d' if s2d_stem else ''} depth{depth} "
+        f"B{batch} @{side}^3 bf16: "
         f"{step_s*1000:.0f} ms | {batch/step_s:.2f} samples/s | "
         f"flops/step={flops and f'{flops:.3e}'} | "
         f"MFU={mfu and f'{mfu:.1%}'} (peak {peak:.2e}, {kind})",
@@ -217,6 +224,28 @@ def main():
         except Exception as e:
             print(f"# train-step bench failed: {e}", file=sys.stderr)
             extra = {"train_step_error": str(e)[:200]}
+        # Space-to-depth stem (VERDICT r2 next-step 2): same step, the
+        # rewritten stem — reported side by side so the MFU comparison
+        # is on the record every round.
+        try:
+            step_s, sps, mfu, _ = bench_train_step(s2d_stem=True)
+            extra.update({
+                "train_step_s2d_ms": round(step_s * 1000, 1),
+                "train_step_s2d_mfu": mfu and round(mfu, 4),
+            })
+        except Exception as e:
+            print(f"# s2d train-step bench failed: {e}", file=sys.stderr)
+            extra["train_step_s2d_error"] = str(e)[:200]
+        # Base-variant step (VERDICT r2 next-step 8): the per-batch FOT
+        # solve runs IN-STEP on device — the host round-trip the
+        # reference pays per batch (MRI_PET_OT.py:667-697) is gone.
+        try:
+            step_s, sps, _, _ = bench_train_step(variant="base")
+            extra["base_step_ms"] = round(step_s * 1000, 1)
+            extra["base_samples_per_s"] = round(sps, 2)
+        except Exception as e:
+            print(f"# base-step bench failed: {e}", file=sys.stderr)
+            extra["base_step_error"] = str(e)[:200]
 
     print(json.dumps({
         "metric": "per_epoch_ot_coupling_speedup_vs_cpu_numpy",

@@ -137,6 +137,8 @@ def fusion_main(
         mri_backbone=args.mri_backbone,
         pet_backbone=args.pet_backbone,
         remat=args.remat,
+        s2d_stem=args.s2d_stem,
+        raw_plan=args.raw_reference_plan,
         dtype=resolve_dtype(args.dtype),
         num_classes=2,
         profile_dir=args.profile_dir,

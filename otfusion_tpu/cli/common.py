@@ -61,6 +61,12 @@ def add_common_args(parser: argparse.ArgumentParser, *, epochs: int,
     parser.add_argument("--profile-dir", type=str, default=None,
                         help="Capture a jax.profiler trace of epoch 1 "
                              "into this directory (TPU-native addition)")
+    parser.add_argument("--s2d-stem", action="store_true",
+                        help="Space-to-depth ResNet stem: exact "
+                             "weight-space equivalent of the stride-2 "
+                             "7x7 stem that fills the MXU better "
+                             "(pretrained imports are rewritten "
+                             "losslessly; TPU-native addition)")
 
 
 def add_ot_args(parser: argparse.ArgumentParser) -> None:
@@ -84,6 +90,13 @@ def add_ot_args(parser: argparse.ArgumentParser) -> None:
                         help="Gradient-checkpoint the 3D ResNet blocks "
                              "(activation memory for large batches at "
                              "128^3; TPU-native addition)")
+    parser.add_argument("--raw-reference-plan", action="store_true",
+                        help="Strict numerical reproduction of the "
+                             "reference flagship's plan application: the "
+                             "raw un-normalised pet_feat @ T.t() "
+                             "(attn:728) instead of the column-"
+                             "normalised barycentric projection (see "
+                             "PARITY.md, behavioural deviations)")
 
 
 def resolve_num_devices(value: str) -> "int | str":

@@ -149,6 +149,7 @@ def main(argv=None):
         seed=args.seed,
         save_path=args.save_path,
         augment=args.augment,
+        s2d_stem=args.s2d_stem,
         dtype=resolve_dtype(args.dtype),
         profile_dir=args.profile_dir,
         resume=args.resume,

@@ -69,7 +69,7 @@ class _FusionMLP(nn.Module):
 
 
 def build_fusion_backbone(spec: str, depth: int, dtype, name=None,
-                          remat: bool = False):
+                          remat: bool = False, s2d_stem: bool = False):
     """Construct a fusion-side backbone from its registry spec (empty =
     the reference's ResNet3D at ``depth``). Free function so callers
     outside a module scope (feature extraction, shape probing) can build
@@ -77,7 +77,8 @@ def build_fusion_backbone(spec: str, depth: int, dtype, name=None,
     from otfusion_tpu.models.registry import build_backbone
 
     if not spec:
-        return ResNet3DBackbone(depth, remat=remat, dtype=dtype, name=name)
+        return ResNet3DBackbone(depth, remat=remat, s2d_stem=s2d_stem,
+                                dtype=dtype, name=name)
     return build_backbone(spec, dtype=dtype, name=name)
 
 
@@ -97,6 +98,9 @@ class MultimodalOTFusion(nn.Module):
     pet_backbone: str = ""
     # gradient checkpointing for the default ResNet3D backbones
     remat: bool = False
+    # space-to-depth stem for the default ResNet3D backbones (exact
+    # weight-space equivalent of the plain stem; see resnet3d.py)
+    s2d_stem: bool = False
     # Strict reproduction of the reference flagship's plan application:
     # the raw, un-normalised ``pet_feat @ T.t()`` (attn:728) — an
     # axis-mixing matmul that only type-checks because d_pet == d_mri in
@@ -110,7 +114,7 @@ class MultimodalOTFusion(nn.Module):
     def _make_backbone(self, name_attr: str, module_name: str):
         return build_fusion_backbone(
             getattr(self, name_attr), self.depth, self.dtype,
-            name=module_name, remat=self.remat,
+            name=module_name, remat=self.remat, s2d_stem=self.s2d_stem,
         )
 
     @nn.compact

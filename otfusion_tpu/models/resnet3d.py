@@ -49,6 +49,54 @@ EXPANSION = {"basic": 1, "bottleneck": 4}
 _conv_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
+def space_to_depth_hw(x):
+    """(B, D, H, W, C) -> (B, D, H/2, W/2, 4C): 2x2 H/W blocks move to
+    channels, channel index = (dh*2 + dw)*C + c."""
+    b, d, h, w, c = x.shape
+    x = x.reshape(b, d, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 2, 4, 3, 5, 6)
+    return x.reshape(b, d, h // 2, w // 2, 4 * c)
+
+
+def s2d_stem_kernel(w_old):
+    """Losslessly rewrite a stride-(1,2,2) k=(3,7,7) stem-conv kernel
+    into the stride-1 k=(3,4,4) kernel over space-to-depth(2x2) inputs.
+
+    Derivation: output position i reads input rows h = 2i + kh - 3; in
+    s2d coordinates h = 2u + dh, so taps split by row parity:
+    dh=1 rows come from kh in {0,2,4,6} at u-offsets {-2,-1,0,1}
+    (new index qh with kh = 2*qh) and dh=0 rows from kh in {1,3,5} at
+    offsets {-1,0,1} (kh = 2*qh - 1; qh = 0 has no source and stays 0).
+    Same split on W. The new conv uses padding (2, 1) on H and W — the
+    exact image of the original padding 3 under s2d. Verified to
+    reproduce the plain stem's outputs bit-for-bit-close in
+    tests/test_models.py (test_s2d_stem_* family).
+
+    The kernel layout is Flax (kD, kH, kW, C_in, C_out); works for any
+    C_in (channels map to blocks of the 4*C_in s2d channel axis).
+    """
+    import numpy as np
+
+    kd, kh, kw, cin, cout = w_old.shape
+    if (kh, kw) != (7, 7):
+        raise ValueError(f"s2d stem rewrite expects k=(*,7,7), got "
+                         f"{(kd, kh, kw)}")
+    w_new = np.zeros((kd, 4, 4, 4 * cin, cout), w_old.dtype)
+    for qh in range(4):
+        for dh in range(2):
+            src_h = 2 * qh if dh == 1 else 2 * qh - 1
+            if not 0 <= src_h < kh:
+                continue
+            for qw in range(4):
+                for dw in range(2):
+                    src_w = 2 * qw if dw == 1 else 2 * qw - 1
+                    if not 0 <= src_w < kw:
+                        continue
+                    c = (dh * 2 + dw) * cin
+                    w_new[:, qh, qw, c : c + cin] = w_old[:, src_h, src_w]
+    return w_new
+
+
 def feature_dim(depth: int) -> int:
     """Pooled feature width for a given depth (512 * expansion)."""
     return 512 * EXPANSION[DEPTH_CONFIGS[depth][1]]
@@ -139,6 +187,16 @@ class ResNet3DBackbone(nn.Module):
     # the backward pass. Trades ~1/3 more FLOPs for the activation memory
     # that otherwise prevents large batches at 128^3 (HBM compile OOM).
     remat: bool = False
+    # Space-to-depth stem: rearrange 2x2 H/W blocks into channels and run
+    # the stem as a stride-1 k=(3,4,4) conv over 4 input channels — the
+    # standard TPU fix for the 1-channel stem's MXU underfill (the
+    # implicit GEMM's contraction dim grows 147 -> 192 and the
+    # high-resolution stride-2 conv disappears). Mathematically a
+    # superset of the plain stem: ``s2d_stem_kernel`` maps any plain
+    # stem kernel onto it EXACTLY (torch .pth import applies the map, so
+    # pretrained-weight parity survives); trained from scratch the extra
+    # taps are free parameters. Opt-in (docs/perf_notes.md lever #1).
+    s2d_stem: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -150,13 +208,23 @@ class ResNet3DBackbone(nn.Module):
 
         x = x.astype(self.dtype)
         # Stem: anisotropic conv + maxpool preserving depth resolution.
-        x = _ConvBN(
-            64,
-            (3, 7, 7),
-            (1, 2, 2),
-            padding=((1, 1), (3, 3), (3, 3)),
-            dtype=self.dtype,
-        )(x, train)
+        if self.s2d_stem:
+            x = space_to_depth_hw(x)
+            x = _ConvBN(
+                64,
+                (3, 4, 4),
+                (1, 1, 1),
+                padding=((1, 1), (2, 1), (2, 1)),
+                dtype=self.dtype,
+            )(x, train)
+        else:
+            x = _ConvBN(
+                64,
+                (3, 7, 7),
+                (1, 2, 2),
+                padding=((1, 1), (3, 3), (3, 3)),
+                dtype=self.dtype,
+            )(x, train)
         x = nn.relu(x)
         x = nn.max_pool(
             x,
@@ -183,11 +251,13 @@ class ResNet3DClassifier(nn.Module):
 
     depth: int = 50
     num_classes: int = 2
+    s2d_stem: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        feats = ResNet3DBackbone(self.depth, dtype=self.dtype, name="backbone")(
+        feats = ResNet3DBackbone(self.depth, s2d_stem=self.s2d_stem,
+                                 dtype=self.dtype, name="backbone")(
             x, train
         )
         logits = nn.Dense(self.num_classes, name="fc")(feats)

@@ -205,11 +205,18 @@ def run_fusion_training(
     ot_epsilon: float = 5e-3,
     gw_max_iterations: int = 2000,
     sinkhorn_max_iterations: int = 2000,
+    # In-batch FOT solver controls (base variant; threshold 0 pins the
+    # iteration count at fot_max_iterations — the reduction-order
+    # equivalence tests use this to disable the early exit).
+    fot_max_iterations: int = 2000,
+    fot_threshold: float = 1e-3,
     mri_pretrained: Optional[str] = None,
     pet_pretrained: Optional[str] = None,
     mri_backbone: str = "",
     pet_backbone: str = "",
     remat: bool = False,
+    s2d_stem: bool = False,
+    raw_plan: bool = False,
     dtype=jnp.float32,
     num_classes: int = 2,
     results_title: str = (
@@ -277,6 +284,8 @@ def run_fusion_training(
         mri_backbone=mri_backbone,
         pet_backbone=pet_backbone,
         remat=remat,
+        s2d_stem=s2d_stem,
+        raw_plan=raw_plan,
         dtype=dtype,
     )
     mri0, pet0, _ = next(iter(feat_loader))
@@ -286,7 +295,7 @@ def run_fusion_training(
     def _backbone_dim(name_attr, sample):
         backbone = build_fusion_backbone(
             getattr(model, name_attr), model.depth, model.dtype,
-            remat=model.remat)
+            remat=model.remat, s2d_stem=model.s2d_stem)
         out = jax.eval_shape(
             lambda x: backbone.init_with_output(
                 {"params": jax.random.key(0),
@@ -322,12 +331,16 @@ def run_fusion_training(
             model, mesh,
             in_batch_fot=(variant == "base"),
             fot_epsilon=1e-3,
+            fot_max_iterations=fot_max_iterations,
+            fot_threshold=fot_threshold,
         )
     else:
         train_step = make_fusion_train_step(
             model,
             in_batch_fot=(variant == "base"),
             fot_epsilon=1e-3,
+            fot_max_iterations=fot_max_iterations,
+            fot_threshold=fot_threshold,
             # Donate the input state: the old parameter/optimiser buffers
             # are freed during the step — at depth-101/128^3/B8 that
             # headroom is the difference between fitting HBM and
@@ -487,6 +500,7 @@ def run_unimodal_training(
     seed: int,
     save_path: str,
     augment: bool = False,
+    s2d_stem: bool = False,
     dtype=jnp.float32,
     results_title: str = "3D ResNet Training Results - ADNI MRI Dataset",
     config_lines: Optional[Dict[str, object]] = None,
@@ -534,7 +548,7 @@ def run_unimodal_training(
     )
 
     model = ResNet3DClassifier(depth=model_depth, num_classes=num_classes,
-                               dtype=dtype)
+                               s2d_stem=s2d_stem, dtype=dtype)
     vol0, _ = next(iter(val_loader)) if len(val_loader) else next(iter(train_loader))
     state = create_train_state(
         model, jax.random.key(seed), (jnp.asarray(vol0),), lr,

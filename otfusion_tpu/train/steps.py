@@ -41,6 +41,7 @@ def make_fusion_train_step(
     in_batch_fot: bool = False,
     fot_epsilon: float = 1e-3,
     fot_max_iterations: int = 2000,
+    fot_threshold: float = 1e-3,
     donate: bool = True,
     jit: bool = True,
 ) -> Callable:
@@ -72,6 +73,7 @@ def make_fusion_train_step(
                         out["pet_fused"], out["mri_fused"], ts,
                         epsilon=fot_epsilon,
                         max_iterations=fot_max_iterations,
+                        threshold=fot_threshold,
                     ).coupling
                     ot_mri = apply_feature_coupling(out["pet_fused"], tv)
                 else:
@@ -131,10 +133,13 @@ def make_feature_extract_step(model, jit: bool = True) -> Callable:
     from otfusion_tpu.models.fusion import build_fusion_backbone
 
     remat = getattr(model, "remat", False)
+    s2d = getattr(model, "s2d_stem", False)
     mri_backbone = build_fusion_backbone(
-        model.mri_backbone, model.depth, model.dtype, remat=remat)
+        model.mri_backbone, model.depth, model.dtype, remat=remat,
+        s2d_stem=s2d)
     pet_backbone = build_fusion_backbone(
-        model.pet_backbone, model.depth, model.dtype, remat=remat)
+        model.pet_backbone, model.depth, model.dtype, remat=remat,
+        s2d_stem=s2d)
 
     def step(state: FusionTrainState, mri, pet):
         def run(backbone, params_key, x):

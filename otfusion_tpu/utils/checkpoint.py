@@ -189,8 +189,40 @@ def restore_backbone(
     directory = Path(backbone_ckpt_dir).resolve()
     ckptr = ocp.StandardCheckpointer()
     restored = ckptr.restore(directory)  # raw pytree, no target
+    src_params = _maybe_rewrite_stem(
+        restored["params"][source_module], state.params[target_module])
     new_params = dict(state.params)
-    new_params[target_module] = restored["params"][source_module]
+    new_params[target_module] = src_params
     new_stats = dict(state.batch_stats)
     new_stats[target_module] = restored["batch_stats"][source_module]
     return state.replace(params=new_params, batch_stats=new_stats)
+
+
+def _maybe_rewrite_stem(src_backbone: Dict[str, Any],
+                        dst_backbone) -> Dict[str, Any]:
+    """Absorb a plain-stem -> space-to-depth-stem layout change when
+    grafting pretrained backbone weights: a (kd,7,7,C,O) source stem
+    kernel is rewritten losslessly onto a (kd,4,4,4C,O) target
+    (models/resnet3d.py:s2d_stem_kernel), so ``--s2d-stem`` keeps full
+    pretrained-checkpoint parity. All other shapes must match as before."""
+    try:
+        src_k = np.asarray(src_backbone["_ConvBN_0"]["Conv_0"]["kernel"])
+        dst_k = dst_backbone["_ConvBN_0"]["Conv_0"]["kernel"]
+    except (KeyError, TypeError):
+        return src_backbone
+    if src_k.shape == np.shape(dst_k):
+        return src_backbone
+    kd = src_k.shape[0]
+    if (src_k.shape[1:3] == (7, 7)
+            and np.shape(dst_k)[:3] == (kd, 4, 4)
+            and np.shape(dst_k)[3] == 4 * src_k.shape[3]):
+        from otfusion_tpu.models.resnet3d import s2d_stem_kernel
+
+        out = dict(src_backbone)
+        stem = dict(out["_ConvBN_0"])
+        conv = dict(stem["Conv_0"])
+        conv["kernel"] = s2d_stem_kernel(src_k)
+        stem["Conv_0"] = conv
+        out["_ConvBN_0"] = stem
+        return out
+    return src_backbone

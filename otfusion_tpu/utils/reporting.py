@@ -36,6 +36,18 @@ CSV_COLUMNS: List[str] = [
 
 _NUMBER = r"[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?"
 
+# Columns the reference's XLSX twin coerces to numbers
+# (aggregate_pretraining_best_results.py:36-44, pd.to_numeric).
+NUMERIC_COLUMNS: List[str] = [
+    "best_val_loss",
+    "best_epoch",
+    "val_acc",
+    "precision",
+    "recall",
+    "f1_score",
+    "specificity",
+]
+
 
 class ResultsWriter:
     """Writes the reference's fixed-width results.txt."""
@@ -221,3 +233,105 @@ def write_results_csv(rows: List[Dict[str, str]], output_path: Path) -> None:
         writer.writeheader()
         for row in rows:
             writer.writerow(row)
+
+
+def _xml_escape(text: str) -> str:
+    return (text.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;").replace('"', "&quot;"))
+
+
+def write_results_xlsx(rows: List[Dict[str, str]],
+                       output_path: Path) -> None:
+    """XLSX twin of the CSV (reference writes both via pandas.to_excel,
+    aggregate_pretraining_best_results.py:164-179). pandas/openpyxl are
+    not in this image, so this emits the minimal Office-Open-XML package
+    directly (a zip of 5 XML parts, one inline-string/number worksheet) —
+    readable by Excel, LibreOffice, pandas.read_excel. NUMERIC_COLUMNS
+    are written as number cells like the reference's to_numeric coercion;
+    unparseable values become empty cells (errors='coerce' parity)."""
+    import zipfile
+
+    output_path = Path(output_path)
+    output_path.parent.mkdir(parents=True, exist_ok=True)
+
+    def cell(ref: str, value: str, column: str) -> str:
+        if column in NUMERIC_COLUMNS:
+            try:
+                num = float(value)
+            except (TypeError, ValueError):
+                return f'<c r="{ref}"/>'
+            # ints render without a trailing .0, like pandas
+            text = repr(int(num)) if num == int(num) else repr(num)
+            return f'<c r="{ref}"><v>{text}</v></c>'
+        return (f'<c r="{ref}" t="inlineStr"><is><t>'
+                f"{_xml_escape(str(value))}</t></is></c>")
+
+    def col_letter(i: int) -> str:
+        letters = ""
+        i += 1
+        while i:
+            i, rem = divmod(i - 1, 26)
+            letters = chr(ord("A") + rem) + letters
+        return letters
+
+    sheet_rows = []
+    header = "".join(
+        f'<c r="{col_letter(c)}1" t="inlineStr"><is><t>'
+        f"{_xml_escape(name)}</t></is></c>"
+        for c, name in enumerate(CSV_COLUMNS))
+    sheet_rows.append(f'<row r="1">{header}</row>')
+    for r, row in enumerate(rows, start=2):
+        cells = "".join(
+            cell(f"{col_letter(c)}{r}", row.get(name, ""), name)
+            for c, name in enumerate(CSV_COLUMNS))
+        sheet_rows.append(f'<row r="{r}">{cells}</row>')
+
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/'
+        'spreadsheetml/2006/main"><sheetData>'
+        + "".join(sheet_rows) + "</sheetData></worksheet>"
+    )
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/'
+        'spreadsheetml/2006/main" xmlns:r="http://schemas.'
+        'openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets>'
+        "</workbook>"
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/'
+        'package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.'
+        'org/officeDocument/2006/relationships/worksheet" '
+        'Target="worksheets/sheet1.xml"/></Relationships>'
+    )
+    root_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/'
+        'package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.'
+        'org/officeDocument/2006/relationships/officeDocument" '
+        'Target="xl/workbook.xml"/></Relationships>'
+    )
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+        'content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.'
+        'openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/'
+        'vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet1.xml" ContentType='
+        '"application/vnd.openxmlformats-officedocument.spreadsheetml.'
+        'worksheet+xml"/></Types>'
+    )
+    with zipfile.ZipFile(output_path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", content_types)
+        z.writestr("_rels/.rels", root_rels)
+        z.writestr("xl/workbook.xml", workbook)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)

@@ -77,11 +77,17 @@ def _bn(sd, name):
 def resnet3d_tree_from_torch(
     state_dict: Dict[str, np.ndarray],
     depth: int,
+    s2d_stem: bool = False,
 ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Map a reference ResNet3D(-Backbone) torch state dict onto the Flax
     ``ResNet3DBackbone`` tree layout: (params_subtree, batch_stats_subtree)
     containing ONLY the entries found in the state dict (partial-graft
-    semantics; missing modules are simply absent)."""
+    semantics; missing modules are simply absent).
+
+    ``s2d_stem=True`` additionally rewrites the k=(3,7,7) stride-(1,2,2)
+    stem kernel onto the space-to-depth stem's k=(3,4,4) layout
+    (models/resnet3d.py:s2d_stem_kernel — an exact weight-space
+    equivalence, so torch-pretrained parity survives the faster stem)."""
     layers, kind = DEPTH_CONFIGS[depth]
     n_convs = 3 if kind == "bottleneck" else 2
     block_cls = "Bottleneck3D" if kind == "bottleneck" else "BasicBlock3D"
@@ -107,7 +113,12 @@ def resnet3d_tree_from_torch(
     else:
         stem_conv, stem_bn = "conv1", "bn1"
     bn_p, bn_s = _bn(state_dict, stem_bn)
-    put("_ConvBN_0", _conv(state_dict, stem_conv), bn_p, bn_s)
+    stem = _conv(state_dict, stem_conv)
+    if s2d_stem and stem is not None and stem["kernel"].shape[1:3] == (7, 7):
+        from otfusion_tpu.models.resnet3d import s2d_stem_kernel
+
+        stem = {"kernel": s2d_stem_kernel(stem["kernel"])}
+    put("_ConvBN_0", stem, bn_p, bn_s)
 
     g = 0  # flax auto-numbered global block index
     for stage, n_blocks in enumerate(layers):
@@ -182,7 +193,16 @@ def graft_torch_resnet3d(
     import jax
 
     sd = load_torch_state_dict(pth_path)
-    src_p, src_s = resnet3d_tree_from_torch(sd, depth)
+    # Detect a space-to-depth-stem target from the model's own stem shape
+    # and rewrite the torch stem kernel onto it (lossless equivalence).
+    s2d = False
+    try:
+        dst_stem = state.params[target_module]["_ConvBN_0"]["Conv_0"][
+            "kernel"]
+        s2d = np.shape(dst_stem)[1:3] == (4, 4)
+    except (KeyError, TypeError):
+        pass
+    src_p, src_s = resnet3d_tree_from_torch(sd, depth, s2d_stem=s2d)
 
     # tree_map rebuilds every container, so in-place grafting below never
     # aliases the original state's trees.

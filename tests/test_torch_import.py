@@ -167,3 +167,38 @@ def test_load_torch_state_dict_unwraps(tmp_path, rng):
     assert out["stem.0.weight"].dtype == np.float32
     p, s = resnet3d_tree_from_torch(out, depth=10)
     assert "Conv_0" in p["_ConvBN_0"] and not s
+
+
+def test_pth_graft_into_s2d_stem_backbone(tmp_path, rng):
+    """.pth import parity survives the space-to-depth stem (VERDICT
+    round-2 next-step 2): grafting the same torch weights into a plain
+    and an s2d model yields the same logits."""
+    from otfusion_tpu.models.resnet3d import s2d_stem_kernel
+
+    sd = _depth10_backbone_state_dict(rng)
+    pth = tmp_path / "mri_backbone.pth"
+    torch.save(sd, pth)
+
+    x = jnp.asarray(rng.normal(size=(2, 6, 16, 16, 1)), jnp.float32)
+    d = feature_dim(10)
+    tv = jnp.full((d, d), 1.0 / d**2, jnp.float32)
+    logits = {}
+    for s2d in (False, True):
+        model = MultimodalOTFusion(num_classes=2, depth=10,
+                                   variant="per_epoch_attn", s2d_stem=s2d)
+        state = create_train_state(model, jax.random.key(0), (x, x), 1e-3,
+                                   t_feature=tv)
+        state = restore_backbone(state, pth, "mri_backbone", depth=10)
+        state = restore_backbone(state, pth, "pet_backbone", depth=10)
+        # stem kernel landed in the right layout
+        got = np.asarray(
+            state.params["mri_backbone"]["_ConvBN_0"]["Conv_0"]["kernel"])
+        want = np.transpose(sd["stem.0.weight"].numpy(), (2, 3, 4, 1, 0))
+        if s2d:
+            want = s2d_stem_kernel(want)
+        np.testing.assert_array_equal(got, want)
+        logits[s2d] = np.asarray(model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x, x, t_feature=tv, train=False)["logits"])
+    np.testing.assert_allclose(logits[False], logits[True], rtol=1e-3,
+                               atol=1e-4)
