@@ -90,6 +90,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("filepath", type=str)
     p.add_argument("eps", type=_parse_eps,
                    help="epsilon, or adv,latent_dim,lr for VAE methods")
+    p.add_argument("--latent-vae", action="store_true",
+                   help="VAE-then-OT: train a per-modality VAE per fold "
+                        "and couple the latents (reference "
+                        "run_models_vae_then_ot, loo.py:188-283; the "
+                        "perturbot.preprocess.vae pathway)")
+    p.add_argument("--latent-dim", type=int, default=10,
+                   help="per-modality VAE latent width (scVI default)")
 
     p = sub.add_parser("all", help="whole-dataset matching run "
                        "(all.py parity)")
@@ -142,11 +149,19 @@ def main(argv=None) -> int:
         )
         _dump(result, out / f"test_{args.method}.{args.test_idx}.pkl")
     elif args.cmd == "loo":
-        rows, log = harness.run_loo(
-            data, args.method, args.eps, z_key=args.z_key, progress=say,
-        )
-        _dump({"evals": rows, "log": log},
-              out / f"loo_{args.method}.{args.eps}.pkl")
+        if args.latent_vae:
+            rows, log = harness.run_loo_latent(
+                data, args.method, args.eps, latent_dim=args.latent_dim,
+                z_key=args.z_key, progress=say,
+            )
+            _dump({"evals": rows, "log": log},
+                  out / f"loo_vae_{args.method}.{args.eps}.pkl")
+        else:
+            rows, log = harness.run_loo(
+                data, args.method, args.eps, z_key=args.z_key, progress=say,
+            )
+            _dump({"evals": rows, "log": log},
+                  out / f"loo_{args.method}.{args.eps}.pkl")
     elif args.cmd == "all":
         result = harness.run_all(data, args.method, args.eps,
                                  z_key=args.z_key)

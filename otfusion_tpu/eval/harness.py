@@ -32,6 +32,7 @@ from typing import Callable, Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from otfusion_tpu.eval.matching import get_FOSCTTM, get_diag_fracs
+from otfusion_tpu.eval.preprocess import SCVI_LATENT_KEY
 from otfusion_tpu.eval.prediction import get_evals, get_evals_preds, nan_evals
 from otfusion_tpu.eval.predictors import (
     make_G,
@@ -465,6 +466,79 @@ def run_loo(
         log["preds"][test_label] = preds
         rows = get_evals_preds(
             np.asarray(y_dict[test_label]), preds, ["ot"] + BASELINE_PRED_LABELS
+        )
+        for row in rows:
+            row["loo_test_idx"] = test_label
+        eval_rows.extend(rows)
+    return eval_rows, log
+
+
+def run_loo_latent(
+    data: Dict,
+    method: str,
+    eps: float,
+    latent_dim: int = 10,
+    z_key: str = "dosage",
+    vae_steps: int = 500,
+    seed: int = 0,
+    progress: Optional[Callable[[str], None]] = None,
+) -> Tuple[List[Dict], Dict]:
+    """VAE-then-OT leave-one-out (reference ``run_models_vae_then_ot``,
+    loo.py:188-283, driven by the ``perturbot.preprocess.vae`` trainers
+    cv.py:17-23/loo.py:21-26 — both absent upstream; reconstructed in
+    eval/preprocess.py): per fold, train an INDEPENDENT VAE per modality
+    on the training treatments, solve the OT coupling between their
+    latent clouds, fit the coupling-weighted OLS in LATENT space, and
+    predict the held-out label by encode -> latent map -> decode
+    (``predict_from_model_with_OT`` semantics). Raw-space label-level
+    baselines ride along for comparability with :func:`run_loo`."""
+    from otfusion_tpu.eval.preprocess import (
+        encode,
+        encode_dict,
+        decode,
+        train_modality_vae,
+    )
+
+    say = progress or (lambda s: None)
+    x_dict, y_dict, zs_dict, _ = _unpack(data, z_key)
+    if _is_vae(method):
+        raise ValueError(
+            "run_loo_latent couples VAE latents with an OT method; the "
+            "shared-latent VAE matching family belongs in run_loo")
+    solver = OT_METHOD_MAP[method]
+    log: Dict = {"ot_couplings": {}, "params": {}, "preds": {},
+                 "logs": {}, "vae_logs": {}, SCVI_LATENT_KEY: {}}
+    eval_rows: List[Dict] = []
+    for test_label in list(x_dict.keys()):
+        say(f"loo-latent hold-out {test_label}")
+        tr_x = _pop_keys(x_dict, [test_label])
+        tr_y = _pop_keys(y_dict, [test_label])
+        tr_z = _pop_keys(zs_dict, [test_label]) if zs_dict else None
+        vae_x, log_x = train_modality_vae(
+            tr_x, latent_dim, steps=vae_steps, seed=seed)
+        vae_y, log_y = train_modality_vae(
+            tr_y, latent_dim, steps=vae_steps, seed=seed + 1)
+        lat_x = encode_dict(vae_x, tr_x)
+        lat_y = encode_dict(vae_y, tr_y)
+        log["vae_logs"][test_label] = {"source": log_x, "target": log_y}
+        log[SCVI_LATENT_KEY][test_label] = (lat_x, lat_y)
+        ts, solver_log = solver((lat_x, lat_y), eps)
+        log["ot_couplings"][test_label] = ts
+        log["logs"][test_label] = solver_log
+        # coupling-weighted OLS in latent space + encode/decode bridge
+        lat_param = weighted_ols_normed(lat_x, lat_y, ts)
+        log["params"][test_label] = lat_param
+        z_test = encode(vae_x, np.asarray(x_dict[test_label]))
+        pred_y = decode(vae_y, predict(z_test, lat_param))
+        # raw-space label-level baselines (as in run_loo)
+        base_params = [b(tr_x, tr_y, tr_z) for b in BASELINE_PRED_METHODS]
+        preds = [pred_y] + [
+            predict(np.asarray(x_dict[test_label]), p) for p in base_params
+        ]
+        log["preds"][test_label] = preds
+        rows = get_evals_preds(
+            np.asarray(y_dict[test_label]), preds,
+            ["ot_latent"] + BASELINE_PRED_LABELS,
         )
         for row in rows:
             row["loo_test_idx"] = test_label

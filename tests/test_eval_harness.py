@@ -398,3 +398,79 @@ def test_outer_cv_ot_method_end_to_end():
         assert np.isfinite(pe[k])
     assert result["pred"]["Y_pred"].shape == result["pred"]["Y_true"].shape
     assert result["log"]["match"] is not None
+
+
+def test_modality_vae_roundtrip():
+    """Per-modality VAE preprocessing (reference perturbot.preprocess.vae,
+    absent upstream): encode compresses to latent_dim, decode returns to
+    data scale, and the reconstruction beats predicting the mean."""
+    from otfusion_tpu.eval.preprocess import (
+        decode,
+        encode,
+        encode_dict,
+        train_modality_vae,
+    )
+
+    data = synthetic_screen(n_labels=4, n=16, d=6)
+    x_dict = data["Xs_dict"]
+    model, log = train_modality_vae(x_dict, latent_dim=3, steps=400,
+                                    seed=0)
+    assert np.isfinite(log["final_loss"])
+    lat = encode_dict(model, x_dict)
+    assert set(lat) == set(x_dict)
+    assert all(v.shape == (16, 3) for v in lat.values())
+    x0 = np.asarray(x_dict[0])
+    rec = decode(model, encode(model, x0))
+    mse_rec = float(np.mean((rec - x0) ** 2))
+    mse_mean = float(np.mean((x0 - x0.mean(0)) ** 2))
+    assert mse_rec < 0.8 * mse_mean, (mse_rec, mse_mean)
+
+
+def test_run_loo_latent_vae_then_ot():
+    """VAE-then-OT LOO (reference run_models_vae_then_ot, loo.py:188-283):
+    couplings solved between per-fold VAE latents, prediction decoded
+    from the OT-mapped latent, baselines ride along."""
+    from otfusion_tpu.eval.harness import run_loo_latent
+    from otfusion_tpu.eval.preprocess import SCVI_LATENT_KEY
+
+    data = synthetic_screen(n_labels=4, n=12, d=5, dp=4)
+    rows, log = run_loo_latent(data, "ECOOT", 1e-2, latent_dim=3,
+                               vae_steps=300)
+    # one row per (held-out label) x (ot_latent + 3 baselines)
+    assert len(rows) == 4 * 4
+    assert {r["loo_test_idx"] for r in rows} == {0, 1, 2, 3}
+    assert len(log["ot_couplings"]) == 4
+    assert len(log[SCVI_LATENT_KEY]) == 4
+    lat_x, lat_y = log[SCVI_LATENT_KEY][0]
+    assert all(v.shape[1] == 3 for v in lat_x.values())
+    for r in rows:
+        for k, v in r.items():
+            if isinstance(v, float):
+                assert np.isfinite(v) or np.isnan(v)
+
+
+def test_run_loo_latent_rejects_vae_methods():
+    from otfusion_tpu.eval.harness import run_loo_latent
+
+    data = synthetic_screen(n_labels=3, n=8)
+    with pytest.raises(ValueError, match="shared-latent"):
+        run_loo_latent(data, "VAE", (1.0, 8, 1e-4))
+
+
+def test_cli_loo_latent_vae(tmp_path):
+    import pickle
+
+    from otfusion_tpu.cli.perturbot_eval import main
+
+    data = synthetic_screen(n_labels=3, n=8, d=5, dp=4, seed=5)
+    path = tmp_path / "screen.pkl"
+    with open(path, "wb") as f:
+        pickle.dump(data, f)
+    rc = main(["--out-dir", str(tmp_path), "--quiet",
+               "loo", "ECOOT", str(path), "0.01",
+               "--latent-vae", "--latent-dim", "3"])
+    assert rc == 0
+    with open(tmp_path / "loo_vae_ECOOT.0.01.pkl", "rb") as f:
+        result = pickle.load(f)
+    assert len(result["evals"]) == 3 * 4
+    assert "X_scVI" in result["log"]
