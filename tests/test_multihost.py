@@ -83,8 +83,26 @@ mri6, pet6, lab6 = mri[:6][rows6], pet[:6][rows6], labels[:6][rows6]
 state, met = train_step(state, mri6, pet6, lab6, tv, jax.random.key(2))
 loss_uneven = float(met["loss"])
 
+# sharded coupling pipeline ACROSS the process group (VERDICT r2 next
+# step 5): inputs assemble per-shard via make_array_from_callback —
+# every local device must hold a (L, cap, d/8) feature slice — and the
+# returned Tv is pinned replicated so host code can np.asarray it.
+from otfusion_tpu.parallel import make_sharded_coupling_pipeline
+rng_c = np.random.default_rng(3)
+L, cap = 2, 8
+pet_g = rng_c.normal(size=(L, cap, d)).astype(np.float32)
+mri_g = rng_c.normal(size=(L, cap, d)).astype(np.float32)
+cmask = np.ones((L, cap), bool)
+tv_c, gw_c, fot_c = make_sharded_coupling_pipeline(mesh)(
+    pet_g, mri_g, cmask, cmask, epsilon=5e-3, gw_max_iterations=10,
+    sinkhorn_max_iterations=20, fot_epsilon=5e-3, fot_max_iterations=20)
+assert tv_c.sharding.is_fully_replicated, tv_c.sharding
+coupling_sum = float(np.asarray(tv_c).sum())
+assert np.isfinite(np.asarray(tv_c)).all()
+
 result = {"proc": proc_id, "primary": is_primary(),
-          "loss_even": loss_even, "loss_uneven": loss_uneven}
+          "loss_even": loss_even, "loss_uneven": loss_uneven,
+          "coupling_sum": coupling_sum}
 with open(out_path, "w") as f:
     json.dump(result, f)
 from jax.experimental import multihost_utils
@@ -181,6 +199,10 @@ def test_two_process_group_matches_single_process(tmp_path):
         results[1]["loss_even"], rel=1e-6)
     assert results[0]["loss_uneven"] == pytest.approx(
         results[1]["loss_uneven"], rel=1e-6)
+    # sharded coupling is SPMD-consistent across the group
+    assert results[0]["coupling_sum"] == pytest.approx(
+        results[1]["coupling_sum"], rel=1e-6)
+    assert np.isfinite(results[0]["coupling_sum"])
     assert results[0]["primary"] and not results[1]["primary"]
 
     ref_even, ref_uneven = _single_process_reference()
