@@ -68,3 +68,80 @@ def test_convert_without_dcm2niix_falls_back_to_native(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "native DICOM reader" in out
     assert "Converted 0 DICOM series" in out
+
+
+# ------------------------------------------------------- harvard30k prep
+
+
+def test_harvard30k_merge_zips(tmp_path):
+    """data_process.py:25-55 parity: zips unpack into merged split trees,
+    .jpg previews dropped, nested patient dirs merged across zips."""
+    import zipfile
+
+    from otfusion_tpu.cli.harvard30k import main
+
+    work = tmp_path / "release"
+    work.mkdir()
+    for zi in range(2):
+        src = tmp_path / f"src{zi}"
+        (src / "Training" / f"p{zi}").mkdir(parents=True)
+        (src / "Training" / f"p{zi}" / "scan.npz").write_bytes(b"x")
+        (src / "Training" / f"p{zi}" / "preview.jpg").write_bytes(b"x")
+        (src / "test").mkdir()
+        (src / "test" / f"rec{zi}.npz").write_bytes(b"y")
+        with zipfile.ZipFile(work / f"part{zi}.zip", "w") as zf:
+            for f in sorted(src.rglob("*")):
+                zf.write(f, f.relative_to(src))
+    out = tmp_path / "merged"
+    assert main(["merge-zips", "--work-dir", str(work),
+                 "--output-dir", str(out)]) == 0
+    assert (out / "merged_training" / "p0" / "scan.npz").exists()
+    assert (out / "merged_training" / "p1" / "scan.npz").exists()
+    assert (out / "merged_test" / "rec0.npz").exists()
+    assert (out / "merged_test" / "rec1.npz").exists()
+    assert not list(out.rglob("*.jpg"))
+    assert not (work / "temp").exists()
+
+
+def test_harvard30k_fundus_and_oct(tmp_path):
+    """data_process.py:57-118 parity: fundus PNG + label list, OCT
+    volumes to zipped NIfTI (native writer round-trips)."""
+    import zipfile
+
+    import numpy as np
+
+    from otfusion_tpu.cli.harvard30k import main
+    from otfusion_tpu.data.nifti_io import read_nifti
+
+    src = tmp_path / "Test"
+    src.mkdir()
+    rng = np.random.default_rng(0)
+    vol = rng.normal(size=(8, 10, 12)).astype(np.float32)
+    np.savez(src / "rec_a.npz",
+             slo_fundus=rng.integers(0, 255, (32, 32), dtype=np.uint8),
+             dr_subtype=np.asarray("pdr"),
+             oct_bscans=vol)
+    np.savez(src / "rec_b.npz",
+             slo_fundus=rng.integers(0, 255, (16, 24), dtype=np.uint8),
+             dr_subtype=np.asarray("no.dr.diagnosis"),
+             oct_bscans=rng.normal(size=(4, 6, 8)).astype(np.float32))
+
+    fundus = tmp_path / "fundus"
+    labels = tmp_path / "fundus.txt"
+    assert main(["extract-fundus", "--source", str(src),
+                 "--fundus-dir", str(fundus),
+                 "--labels-file", str(labels), "--size", "48"]) == 0
+    lines = labels.read_text().strip().split("\n")
+    assert lines == ["rec_a_fundus.png 1", "rec_b_fundus.png 0"]
+    from PIL import Image
+
+    assert Image.open(fundus / "rec_a_fundus.png").size == (48, 48)
+
+    oct_dir = tmp_path / "oct"
+    assert main(["oct-to-nii", "--input", str(src),
+                 "--output", str(oct_dir)]) == 0
+    with zipfile.ZipFile(oct_dir / "rec_a.zip") as zf:
+        zf.extract("rec_a.nii", tmp_path)
+    got = read_nifti(tmp_path / "rec_a.nii")
+    np.testing.assert_allclose(np.asarray(got), vol, rtol=1e-6)
+    assert not (oct_dir / "rec_a.nii").exists()  # zipped then removed
