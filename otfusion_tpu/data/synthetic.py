@@ -46,6 +46,7 @@ def make_synthetic_adni(
     class_gap: float = 1.0,
     noise: float = 0.05,
     signal_dropout: float = 0.0,
+    signal_jitter: float = 0.0,
 ) -> Path:
     """Build the fixture tree; returns the root path.
 
@@ -64,6 +65,14 @@ def make_synthetic_adni(
         alternating MRI/PET per patient, mirroring real cohorts where one
         scan is uninformative. A unimodal model caps near
         1 - dropout/2 while a fusion model can integrate both scans.
+      * ``signal_jitter`` corrupts each scan's class signal with an
+        INDEPENDENT per-(patient, modality) Gaussian perturbation — the
+        complementary-evidence regime: with jitter comparable to
+        class_gap a unimodal model is noise-limited by its single
+        measurement while a fusion model averages two independent
+        measurements (sqrt(2) SNR gain), so fusion strictly dominates
+        either modality in expectation. Mirrors real multi-modal cohorts
+        where each scan is a noisy view of the same pathology.
     """
     root = Path(root)
     rng = np.random.default_rng(seed)
@@ -92,7 +101,14 @@ def make_synthetic_adni(
                     and mod == ("MRI" if p % 2 == 0 else "PET")
                 )
                 eff = 0.5 if blind else float(ci)
-                radius = 0.18 + 0.10 * class_gap * eff
+                if signal_jitter:
+                    # independent per-(patient, modality) measurement
+                    # noise on the class channel — NOT shared across the
+                    # patient's scans (see docstring)
+                    scan_rng = np.random.default_rng(
+                        (seed, ci, p, 0 if mod == "MRI" else 1))
+                    eff = eff + signal_jitter * scan_rng.standard_normal()
+                radius = max(0.05, 0.18 + 0.10 * class_gap * eff)
                 intensity = 1.0 + 0.5 * class_gap * eff
                 vol = intensity * _blob(s, center, radius, rng)
                 if mod == "PET":

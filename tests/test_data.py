@@ -94,6 +94,39 @@ def test_extract_patient_id():
     assert extract_patient_id("/x/noid.nii") is None
 
 
+def test_synthetic_signal_jitter_deterministic_and_per_scan(tmp_path):
+    """signal_jitter perturbs each (patient, modality) scan independently
+    but deterministically for a given seed (cohort regeneration across
+    hosts/seeds must agree bit-for-bit)."""
+    from otfusion_tpu.data.nifti_io import read_nifti
+
+    def vols(root, jitter):
+        tree = make_synthetic_adni(
+            root, n_per_class=2, shape=(10, 10, 10), seed=3,
+            class_gap=0.5, noise=0.0, signal_jitter=jitter)
+        return {
+            p.name: read_nifti(p)[0]
+            for p in sorted(tree.rglob("*.nii*"))
+        }
+
+    a = vols(tmp_path / "a", 0.4)
+    b = vols(tmp_path / "b", 0.4)
+    plain = vols(tmp_path / "c", 0.0)
+    assert a.keys() == plain.keys()
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k])  # deterministic
+    # jitter actually moves the volumes, and by a DIFFERENT amount for
+    # the two modalities of the same patient (independent draws)
+    diffs = {k: float(np.abs(a[k] - plain[k]).max()) for k in a}
+    assert any(v > 1e-4 for v in diffs.values())
+    mri = [k for k in diffs if k.endswith("_MR.nii.gz")]
+    pet = [k for k in diffs if k.endswith("_AV45.nii")]
+    assert len(mri) == len(pet) == 4
+    paired = [(diffs[m], diffs[p]) for m in mri for p in pet
+              if m.split("_MR")[0] == p.split("_AV45")[0]]
+    assert paired and all(abs(dm - dp) > 1e-6 for dm, dp in paired)
+
+
 def test_detect_class_names(adni_tree):
     table = detect_class_names(str(adni_tree))
     assert "AD_MRI_130_FIN" in table  # MRI preferred over PET
