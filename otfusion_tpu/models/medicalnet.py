@@ -46,8 +46,9 @@ class _Conv3(nn.Module):
 
 
 def _bn(train, dtype=jnp.float32):
+    # Output in the compute dtype; flax keeps stats/params f32 internally.
     return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                        epsilon=1e-5, dtype=jnp.float32)
+                        epsilon=1e-5, dtype=dtype)
 
 
 def _shortcut_a(x, out_ch: int, stride: int):
@@ -74,10 +75,10 @@ class MedicalBasicBlock(nn.Module):
         residual = x
         out = _Conv3(self.planes, self.stride, self.dilation,
                      self.dtype)(x)
-        out = _bn(train)(out)
+        out = _bn(train, self.dtype)(out)
         out = nn.relu(out)
         out = _Conv3(self.planes, 1, self.dilation, self.dtype)(out)
-        out = _bn(train)(out)
+        out = _bn(train, self.dtype)(out)
         if self.stride != 1 or x.shape[-1] != out_ch:
             if self.shortcut_type == "A":
                 residual = _shortcut_a(x, out_ch, self.stride)
@@ -86,7 +87,7 @@ class MedicalBasicBlock(nn.Module):
                                    strides=(self.stride,) * 3,
                                    use_bias=False, kernel_init=_conv_init,
                                    dtype=self.dtype)(x)
-                residual = _bn(train)(residual)
+                residual = _bn(train, self.dtype)(residual)
         return nn.relu(out + residual)
 
 
@@ -103,15 +104,15 @@ class MedicalBottleneck(nn.Module):
         residual = x
         out = nn.Conv(self.planes, (1, 1, 1), use_bias=False,
                       kernel_init=_conv_init, dtype=self.dtype)(x)
-        out = _bn(train)(out)
+        out = _bn(train, self.dtype)(out)
         out = nn.relu(out)
         out = _Conv3(self.planes, self.stride, self.dilation,
                      self.dtype)(out)
-        out = _bn(train)(out)
+        out = _bn(train, self.dtype)(out)
         out = nn.relu(out)
         out = nn.Conv(out_ch, (1, 1, 1), use_bias=False,
                       kernel_init=_conv_init, dtype=self.dtype)(out)
-        out = _bn(train)(out)
+        out = _bn(train, self.dtype)(out)
         if self.stride != 1 or x.shape[-1] != out_ch:
             if self.shortcut_type == "A":
                 residual = _shortcut_a(x, out_ch, self.stride)
@@ -120,7 +121,7 @@ class MedicalBottleneck(nn.Module):
                                    strides=(self.stride,) * 3,
                                    use_bias=False, kernel_init=_conv_init,
                                    dtype=self.dtype)(x)
-                residual = _bn(train)(residual)
+                residual = _bn(train, self.dtype)(residual)
         return nn.relu(out + residual)
 
 
@@ -144,7 +145,7 @@ class MedicalNetResNet(nn.Module):
         x = nn.Conv(64, (7, 7, 7), strides=(2, 2, 2),
                     padding=[(3, 3)] * 3, use_bias=False,
                     kernel_init=_conv_init, dtype=self.dtype)(x)
-        x = _bn(train)(x)
+        x = _bn(train, self.dtype)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3, 3), strides=(2, 2, 2),
                         padding=[(1, 1)] * 3)

@@ -19,9 +19,10 @@ import jax.numpy as jnp
 from otfusion_tpu.models.resnet3d import _conv_init
 
 
-def _bn(train):
+def _bn(train, dtype=jnp.float32):
+    # Output in the compute dtype; flax keeps stats/params f32 internally.
     return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                        epsilon=1e-5, dtype=jnp.float32)
+                        epsilon=1e-5, dtype=dtype)
 
 
 class Bottle2neck(nn.Module):
@@ -40,7 +41,7 @@ class Bottle2neck(nn.Module):
 
         out = nn.Conv(width * self.scale, (1, 1), use_bias=False,
                       kernel_init=_conv_init, dtype=self.dtype)(x)
-        out = _bn(train)(out)
+        out = _bn(train, self.dtype)(out)
         out = nn.relu(out)
 
         splits = jnp.split(out, self.scale, axis=-1)
@@ -55,7 +56,7 @@ class Bottle2neck(nn.Module):
             sp = nn.Conv(width, (3, 3), strides=(self.stride,) * 2,
                          padding=[(1, 1)] * 2, use_bias=False,
                          kernel_init=_conv_init, dtype=self.dtype)(sp)
-            sp = nn.relu(_bn(train)(sp))
+            sp = nn.relu(_bn(train, self.dtype)(sp))
             outs.append(sp)
         if self.scale > 1:
             last = splits[-1]
@@ -68,7 +69,7 @@ class Bottle2neck(nn.Module):
 
         out = nn.Conv(out_ch, (1, 1), use_bias=False,
                       kernel_init=_conv_init, dtype=self.dtype)(out)
-        out = _bn(train)(out)
+        out = _bn(train, self.dtype)(out)
 
         if self.stride != 1 or x.shape[-1] != out_ch:
             # v1b downsample: avgpool + 1x1 conv + BN
@@ -79,7 +80,7 @@ class Bottle2neck(nn.Module):
             residual = nn.Conv(out_ch, (1, 1), use_bias=False,
                                kernel_init=_conv_init,
                                dtype=self.dtype)(residual)
-            residual = _bn(train)(residual)
+            residual = _bn(train, self.dtype)(residual)
         return nn.relu(out + residual)
 
 
@@ -99,7 +100,7 @@ class Res2Net(nn.Module):
             x = nn.Conv(features, (3, 3), strides=(stride,) * 2,
                         padding=[(1, 1)] * 2, use_bias=False,
                         kernel_init=_conv_init, dtype=self.dtype)(x)
-            x = nn.relu(_bn(train)(x))
+            x = nn.relu(_bn(train, self.dtype)(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
 
         for stage, (planes, n_blocks) in enumerate(

@@ -120,11 +120,15 @@ class _ConvBN(nn.Module):
             kernel_init=_conv_init,
             dtype=self.dtype,
         )(x)
+        # BN output follows the compute dtype: statistics/params are f32
+        # regardless (flax upcasts internally), but emitting the result
+        # in bf16 keeps the relu/residual/remat activations half-width —
+        # a pure HBM-bandwidth saving on the 128^3 early stages.
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
-            dtype=jnp.float32,
+            dtype=self.dtype,
         )(x)
         return x
 

@@ -113,7 +113,9 @@ class SwinBlock(nn.Module):
         shift = self.shift if ws < min(h, w) else 0
 
         shortcut = x
-        y = nn.LayerNorm(dtype=jnp.float32)(x)
+        # Block-internal norms emit the compute dtype (stats/params stay
+        # f32 in flax); only the final token norm pins f32.
+        y = nn.LayerNorm(dtype=self.dtype)(x)
         # Pad to window multiples (official Swin pads in forward; the
         # reference's 384/4/12 geometry always divides so it never hits
         # this, but other input sizes do).
@@ -137,7 +139,7 @@ class SwinBlock(nn.Module):
             y = y[:, :h, :w, :]
         x = shortcut + self._drop_path(y, train)
 
-        y = nn.LayerNorm(dtype=jnp.float32)(x)
+        y = nn.LayerNorm(dtype=self.dtype)(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype)(y)
         y = nn.gelu(y)
         y = nn.Dense(self.dim, dtype=self.dtype)(y)
@@ -164,7 +166,7 @@ class PatchMerging(nn.Module):
             h, w = h + h % 2, w + w % 2
         x = x.reshape(b, h // 2, 2, w // 2, 2, c)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
-        x = nn.LayerNorm(dtype=jnp.float32)(x)
+        x = nn.LayerNorm(dtype=self.dtype)(x)
         return nn.Dense(2 * self.dim, use_bias=False,
                         dtype=self.dtype)(x)
 
@@ -190,7 +192,7 @@ class SwinTransformer2D(nn.Module):
         p = self.patch_size
         x = nn.Conv(self.embed_dim, (p, p), strides=(p, p),
                     dtype=self.dtype, name="patch_embed")(x.astype(self.dtype))
-        x = nn.LayerNorm(dtype=jnp.float32)(x)
+        x = nn.LayerNorm(dtype=self.dtype)(x)
 
         total_blocks = sum(self.depths)
         dpr = np.linspace(0, self.drop_path_rate, total_blocks)

@@ -27,13 +27,15 @@ class ViTBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        h = nn.LayerNorm(dtype=jnp.float32)(x)
+        # Pre-norms emit the compute dtype (stats/params stay f32 in
+        # flax); only the final output LayerNorm below pins f32.
+        h = nn.LayerNorm(dtype=self.dtype)(x)
         h = nn.MultiHeadDotProductAttention(
             num_heads=self.heads, dropout_rate=self.dropout,
             deterministic=not train, dtype=self.dtype,
         )(h, h)
         x = x + h
-        h = nn.LayerNorm(dtype=jnp.float32)(x)
+        h = nn.LayerNorm(dtype=self.dtype)(x)
         h = nn.Dense(int(self.hidden * self.mlp_ratio), dtype=self.dtype)(h)
         h = nn.gelu(h)
         h = nn.Dense(self.hidden, dtype=self.dtype)(h)
