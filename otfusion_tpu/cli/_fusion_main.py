@@ -146,6 +146,7 @@ def fusion_main(
         num_devices=resolve_num_devices(args.num_devices),
         tp_size=args.tp_size,
         num_workers=args.num_workers,
+        feature_batch_size=args.feature_batch_size,
         config_lines={
             "Dataset": args.data_dir,
             "Train/Val Split": f"{1 - args.val_fraction:.1%}/"

@@ -90,6 +90,13 @@ def add_ot_args(parser: argparse.ArgumentParser) -> None:
                         help="Gradient-checkpoint the 3D ResNet blocks "
                              "(activation memory for large batches at "
                              "128^3; TPU-native addition)")
+    parser.add_argument("--feature-batch-size", type=int, default=None,
+                        help="Batch size for the per-epoch coupling's "
+                             "feature-extraction pass (forward-only, so "
+                             "a larger batch than --batch-size fits; "
+                             "default 4x --batch-size). Per-sample eval-"
+                             "mode outputs are batch-size independent, "
+                             "so the coupling is unchanged")
     parser.add_argument("--raw-reference-plan", action="store_true",
                         help="Strict numerical reproduction of the "
                              "reference flagship's plan application: the "

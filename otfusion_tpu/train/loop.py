@@ -210,6 +210,7 @@ def run_fusion_training(
     # equivalence tests use this to disable the early exit).
     fot_max_iterations: int = 2000,
     fot_threshold: float = 1e-3,
+    feature_batch_size: Optional[int] = None,
     mri_pretrained: Optional[str] = None,
     pet_pretrained: Optional[str] = None,
     mri_backbone: str = "",
@@ -267,8 +268,14 @@ def run_fusion_training(
         augment=augment, seed=seed, cache=cache, host_shard=host_shard,
     )
     # Deterministic-order loader for feature extraction (no augmentation).
+    # The pass is forward-only (eval mode, per-sample independent), so a
+    # larger batch than the train step's fits in HBM and cuts the
+    # per-epoch coupling-prep wall time without changing the coupling:
+    # the loader order is the dataset order at any batch size, and
+    # group_and_pad sees the identical feature rows.
+    feat_batch = feature_batch_size or 4 * batch_size
     feat_loader = MultimodalLoader(
-        train_samples, target_shape, batch_size, shuffle=False, cache=cache,
+        train_samples, target_shape, feat_batch, shuffle=False, cache=cache,
         host_shard=host_shard,
     )
     val_loader = MultimodalLoader(

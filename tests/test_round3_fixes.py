@@ -117,9 +117,54 @@ def test_fusion_cli_flags_round_trip(tmp_path, monkeypatch):
           "--epochs", "1", "--batch-size", "2", "--target-shape",
           "8", "8", "8", "--model-depth", "10", "--dtype", "float32",
           "--val-fraction", "0.34",
-          "--raw-reference-plan", "--s2d-stem"])
+          "--raw-reference-plan", "--s2d-stem",
+          "--feature-batch-size", "16"])
     assert captured["raw_plan"] is True
     assert captured["s2d_stem"] is True
+    assert captured["feature_batch_size"] == 16
+
+
+def test_coupling_invariant_to_feature_batch_size(rng):
+    """The per-epoch coupling's feature-extraction pass is forward-only
+    and per-sample independent, so batching it differently (the
+    --feature-batch-size throughput lever) must not change the coupling:
+    same feature rows in the same dataset order -> same groups -> same
+    plan."""
+    from otfusion_tpu.train.coupling import CouplingService
+    from otfusion_tpu.train.steps import make_feature_extract_step
+
+    model = MultimodalOTFusion(num_classes=2, depth=10,
+                               variant="per_epoch_attn")
+    d = feature_dim(10)
+    n = 10
+    mri = rng.normal(size=(n, 8, 8, 8, 1)).astype(np.float32)
+    pet = rng.normal(size=(n, 8, 8, 8, 1)).astype(np.float32)
+    labels = np.asarray(rng.integers(0, 2, size=n), np.int32)
+    tv0 = jnp.full((d, d), 1.0 / d**2, jnp.float32)
+    state = create_train_state(
+        model, jax.random.key(0), (mri[:2], pet[:2]), 1e-3, t_feature=tv0)
+
+    def batches(bs):
+        for i in range(0, n, bs):
+            yield (jnp.asarray(mri[i:i + bs]), jnp.asarray(pet[i:i + bs]),
+                   labels[i:i + bs])
+
+    feat_step = make_feature_extract_step(model)
+    tvs, feats = [], []
+    for bs in (2, 8):
+        svc = CouplingService(feat_step, n_labels=2,
+                              max_samples_per_label=4,
+                              gw_max_iterations=20,
+                              sinkhorn_max_iterations=50)
+        tvs.append(np.asarray(svc.compute(state, batches(bs))))
+        feats.append(np.concatenate(
+            [np.asarray(feat_step(state, m, p)[0])
+             for m, p, _ in batches(bs)]))
+    # per-sample eval-mode features are batch-size independent...
+    np.testing.assert_allclose(feats[0], feats[1], rtol=1e-4, atol=1e-5)
+    # ...and so is the solved plan (loose bound: the GW early exit can
+    # amplify last-ulp conv differences across XLA batch fusions)
+    np.testing.assert_allclose(tvs[0], tvs[1], rtol=1e-2, atol=1e-8)
 
 
 def test_resolve_mesh_validates_process_group(monkeypatch):
