@@ -53,6 +53,9 @@ def split(n, seed, val_fraction=0.25):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=5)
+    ap.add_argument("--seed-offset", type=int, default=0,
+                    help="first seed (run disjoint seed ranges on "
+                         "different hosts/venues and merge the CSVs)")
     ap.add_argument("--epochs", type=int, default=12)
     # Fusion stages fine-tune PRETRAINED backbones: the reference runs
     # them at lr 1e-5 for 50 epochs (its fusion CLI defaults) — an order
@@ -104,7 +107,7 @@ def main():
                  signal_jitter=args.signal_jitter)
     fusion_lr = args.fusion_lr or args.lr / 5.0
     fusion_epochs = args.fusion_epochs or int(args.epochs * 1.5)
-    for seed in range(args.seeds):
+    for seed in range(args.seed_offset, args.seed_offset + args.seeds):
         tree = build_cohort(workdir, seed, args.n_per_class, shape, knobs)
         ds = MultimodalNiftiDataset(
             root_dir=str(tree), class_names_a=CLASS_NAMES_MRI_BINARY,
