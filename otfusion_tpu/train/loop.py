@@ -409,12 +409,20 @@ def run_fusion_training(
     jsonl_path = os.path.join(save_path, "metrics.jsonl")
     for epoch in range(start_epoch, epochs + 1):
         t0 = time.time()
+        phase_s = {}
+
+        def _clock(tag, _last=[t0]):
+            now = time.time()
+            phase_s[tag] = round(now - _last[0], 3)
+            _last[0] = now
+
         with _MaybeProfile(profile_dir, epoch):
             state, train_loss, train_acc = _run_train_epoch(
                 train_step, state, train_loader,
                 (tv if needs_tv else None,),
                 jax.random.fold_in(rng_base, epoch),
             )
+        _clock("train")
         # Note: the base reference recomputes the coupling each epoch and
         # hands it to evaluate (MRI_PET_OT.py:1072-1101), but evaluation
         # never uses it (ot_loss is 0 outside training, :663-707), so the
@@ -422,19 +430,12 @@ def run_fusion_training(
         val_loss, val_acc, preds, targets, _ = _run_eval_epoch(
             eval_step, state, val_loader, (tv if needs_tv else None,)
         )
+        _clock("eval")
         metrics = classification_metrics(targets, preds, num_classes)
         writer.epoch_row(epoch, train_loss, train_acc, val_loss, val_acc,
                          metrics)
         history.append(EpochResult(train_loss, train_acc, val_loss, val_acc,
                                    metrics))
-        _append_jsonl(jsonl_path, {
-            "epoch": epoch, "train_loss": train_loss,
-            "train_acc": train_acc, "val_loss": val_loss,
-            "val_acc": val_acc, **metrics,
-            "epoch_seconds": time.time() - t0,
-            "coupling_log": svc.last_log if svc else None,
-            "lr": scheduler.lr,
-        })
         if progress:
             print(
                 f"Epoch {epoch:03d} | train_loss={train_loss:.4f} "
@@ -462,9 +463,24 @@ def run_fusion_training(
              "sched_bad_epochs": scheduler.bad_epochs},
             include_opt_state=True,
         )
+        _clock("checkpoint")
 
         if needs_tv and epoch < epochs:
             tv = compute_tv()
+            _clock("coupling")
+        _append_jsonl(jsonl_path, {
+            "epoch": epoch, "train_loss": train_loss,
+            "train_acc": train_acc, "val_loss": val_loss,
+            "val_acc": val_acc, **metrics,
+            "epoch_seconds": round(time.time() - t0, 3),
+            # wall-clock split of the full epoch: train / eval /
+            # checkpoint (best+latest saves) / coupling (feature pass +
+            # EGW/FOT solve) — the observability needed to see which
+            # phase an epoch actually spends its time in.
+            "phase_seconds": phase_s,
+            "coupling_log": svc.last_log if svc else None,
+            "lr": scheduler.lr,
+        })
 
     writer.summary(best_val_loss, best_summary, model_dir)
 
@@ -594,25 +610,28 @@ def run_unimodal_training(
     jsonl_path = os.path.join(save_path, "metrics.jsonl")
     for epoch in range(start_epoch, epochs + 1):
         t0 = time.time()
+        phase_s = {}
+
+        def _clock(tag, _last=[t0]):
+            now = time.time()
+            phase_s[tag] = round(now - _last[0], 3)
+            _last[0] = now
+
         with _MaybeProfile(profile_dir, epoch):
             state, train_loss, train_acc = _run_train_epoch(
                 train_step, state, train_loader, (),
                 jax.random.fold_in(rng_base, epoch),
             )
+        _clock("train")
         val_loss, val_acc, preds, targets, _ = _run_eval_epoch(
             eval_step, state, val_loader, ()
         )
+        _clock("eval")
         metrics = classification_metrics(targets, preds, num_classes)
         writer.epoch_row(epoch, train_loss, train_acc, val_loss, val_acc,
                          metrics)
         history.append(EpochResult(train_loss, train_acc, val_loss, val_acc,
                                    metrics))
-        _append_jsonl(jsonl_path, {
-            "epoch": epoch, "train_loss": train_loss,
-            "train_acc": train_acc, "val_loss": val_loss,
-            "val_acc": val_acc, **metrics,
-            "epoch_seconds": time.time() - t0,
-        })
         if progress:
             print(
                 f"Epoch {epoch:03d} | train_loss={train_loss:.4f} "
@@ -633,6 +652,14 @@ def run_unimodal_training(
              "best_summary": best_summary},
             include_opt_state=True,
         )
+        _clock("checkpoint")
+        _append_jsonl(jsonl_path, {
+            "epoch": epoch, "train_loss": train_loss,
+            "train_acc": train_acc, "val_loss": val_loss,
+            "val_acc": val_acc, **metrics,
+            "epoch_seconds": round(time.time() - t0, 3),
+            "phase_seconds": phase_s,
+        })
 
     writer.summary(best_val_loss, best_summary, model_dir)
 

@@ -1,0 +1,121 @@
+"""Merge cohort-study CSV legs and write the committed artifacts.
+
+The study (scripts/synthetic_cohort_study.py) can run disjoint seed
+ranges on different venues (--seed-offset); this tool merges their
+aggregator-schema CSVs, computes per-setup mean +- std, and — because
+all four variants share each seed's cohort and split — the PAIRED
+per-seed deltas (flagship - mmfusion, mmfusion - best unimodal), which
+is the statistically right comparison on small cohorts: the paired
+difference cancels per-cohort difficulty variance that unpaired
+mean +- std cannot.
+
+Usage:
+  python scripts/cohort_study_report.py leg1.csv leg2.csv ... \
+      [--out-dir examples/synthetic_demo] [--config "knobs descr"]
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+from collections import defaultdict
+
+import numpy as np
+
+SETUPS = ("mri_pet_ot_attention", "mmfusion")
+
+
+def load_rows(paths):
+    rows, header = [], None
+    for p in paths:
+        with open(p, newline="") as f:
+            r = csv.reader(f)
+            h = next(r)
+            if header is None:
+                header = h
+            elif h != header:
+                raise ValueError(f"schema mismatch in {p}")
+            rows.extend(r)
+    return header, rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("csvs", nargs="+")
+    ap.add_argument("--out-dir", default="examples/synthetic_demo")
+    ap.add_argument("--config", default="")
+    args = ap.parse_args()
+
+    header, rows = load_rows(args.csvs)
+    # acc[setup][seed] -> val_acc ; unimodal keyed by modality
+    acc = defaultdict(dict)
+    for r in rows:
+        setup, modality, seed = r[0], r[1], r[3]
+        key = f"unimodal_{modality}" if setup == "pretraining" else setup
+        acc[key][seed] = float(r[9])
+
+    seeds = sorted(acc["mri_pet_ot_attention"])
+    for k in ("mmfusion", "unimodal_mri", "unimodal_pet"):
+        missing = [s for s in seeds if s not in acc[k]]
+        if missing:
+            raise ValueError(f"{k} missing seeds {missing}")
+
+    def arr(k):
+        return np.array([acc[k][s] for s in seeds])
+
+    flag, mm = arr("mri_pet_ot_attention"), arr("mmfusion")
+    uni = np.maximum(arr("unimodal_mri"), arr("unimodal_pet"))
+    d_fm, d_mu = flag - mm, mm - uni
+
+    import os
+    os.makedirs(args.out_dir, exist_ok=True)
+    csv_path = os.path.join(args.out_dir, "hard_cohort_results.csv")
+    with open(csv_path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(header)
+        w.writerows(sorted(rows, key=lambda r: (r[3], r[0], r[1])))
+
+    def ms(a):
+        return f"{a.mean():.4f} ± {a.std():.4f}"
+
+    def paired(d):
+        wins = int((d > 0).sum())
+        ties = int((d == 0).sum())
+        return (f"mean Δ {d.mean():+.4f} ± {d.std():.4f}, "
+                f"wins {wins}/{len(d)} (ties {ties})")
+
+    lines = [
+        "# Hard synthetic cohort: architecture separation (v2)",
+        "",
+        f"{len(seeds)} seeds ({', '.join(s.replace('seed','') for s in seeds)}); "
+        + (args.config or "see scripts/synthetic_cohort_study.py defaults")
+        + ".",
+        "Reference ordering targeted: OT+attn 0.9167 > mmfusion 0.8750 > "
+        "unimodal 0.8611 (comparative_results/*.csv).",
+        "",
+        "| setup | mean val acc ± std |",
+        "|---|---|",
+        f"| ot_attention (flagship) | {ms(flag)} |",
+        f"| mmfusion | {ms(mm)} |",
+        f"| best unimodal (per seed) | {ms(uni)} |",
+        f"| unimodal_mri | {ms(arr('unimodal_mri'))} |",
+        f"| unimodal_pet | {ms(arr('unimodal_pet'))} |",
+        "",
+        "## Paired per-seed deltas",
+        "",
+        "All four variants share each seed's cohort, split and pretrained",
+        "backbones, so the paired per-seed difference cancels per-cohort",
+        "difficulty variance (the right test at this sample size):",
+        "",
+        f"* flagship − mmfusion: {paired(d_fm)}",
+        f"* mmfusion − best unimodal: {paired(d_mu)}",
+    ]
+    md_path = os.path.join(args.out_dir, "hard_cohort_summary.md")
+    with open(md_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+    print(f"\nwrote {csv_path} and {md_path}")
+
+
+if __name__ == "__main__":
+    main()
