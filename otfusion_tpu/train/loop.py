@@ -54,6 +54,7 @@ from otfusion_tpu.train.train_state import (
     set_learning_rate,
 )
 from otfusion_tpu.utils.checkpoint import (
+    flush_checkpoints,
     load_metadata,
     restore_backbone,
     restore_checkpoint,
@@ -485,6 +486,7 @@ def run_fusion_training(
     writer.summary(best_val_loss, best_summary, model_dir)
 
     # Best-model final evaluation + artifacts (attn:1316-1356).
+    flush_checkpoints()  # drain async write-behind ("latest" included)
     _barrier("restore-best")  # primary may still be flushing the ckpt
     state = _place(restore_checkpoint(model_dir, state))
     final_tv = compute_tv() if needs_tv else None
@@ -665,6 +667,7 @@ def run_unimodal_training(
 
     # Best-model artifacts: confusion matrix + t-SNE of pooled features
     # (3D_resnet.py:1016-1047).
+    flush_checkpoints()  # drain async write-behind ("latest" included)
     _barrier("restore-best")
     state = _place(restore_checkpoint(model_dir, state))
     feats_all, preds, targets = [], [], []

@@ -16,6 +16,7 @@ from otfusion_tpu.utils.checkpoint import (
     save_checkpoint,
     restore_checkpoint,
     restore_backbone,
+    flush_checkpoints,
 )
 
 __all__ = [
@@ -30,4 +31,5 @@ __all__ = [
     "save_checkpoint",
     "restore_checkpoint",
     "restore_backbone",
+    "flush_checkpoints",
 ]

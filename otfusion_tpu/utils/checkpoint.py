@@ -11,14 +11,75 @@ reference's --mri-pretrained/--pet-pretrained flags.
 
 from __future__ import annotations
 
+import atexit
 import json
 import os
+import threading
+from concurrent.futures import Future, ThreadPoolExecutor
 from pathlib import Path
 from typing import Any, Dict
 
 import jax
 import numpy as np
 import orbax.checkpoint as ocp
+
+# --- Async write-behind (single-process only) --------------------------------
+#
+# The expensive half of a checkpoint is the orbax serialization + disk I/O
+# + atomic-swap renames; the device->host pull is cheap and must happen on
+# the main thread anyway (the caller's train step DONATES the state buffers,
+# so the payload has to be materialised to numpy before the next step runs).
+# A single worker thread drains writes in submission order, overlapping them
+# with the next epoch's device work. Multi-process groups stay fully
+# synchronous: orbax saves are collective there (internal barriers), and
+# running those barriers from a side thread would race the coordination
+# service against the main thread's training collectives.
+_EXECUTOR: ThreadPoolExecutor | None = None
+_PENDING: Dict[str, Future] = {}  # str(directory) -> last scheduled write
+_LOCK = threading.Lock()
+
+
+def _executor() -> ThreadPoolExecutor:
+    global _EXECUTOR
+    if _EXECUTOR is None:
+        _EXECUTOR = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="otf-ckpt")
+        atexit.register(flush_checkpoints)
+    return _EXECUTOR
+
+
+def _wait_dir(directory: Path) -> None:
+    """Block until any scheduled write to ``directory`` has landed
+    (re-raising its error, if it failed)."""
+    with _LOCK:
+        fut = _PENDING.get(str(directory))
+    if fut is not None:
+        fut.result()
+        with _LOCK:
+            if _PENDING.get(str(directory)) is fut:
+                del _PENDING[str(directory)]
+
+
+def flush_checkpoints() -> None:
+    """Drain every in-flight async checkpoint write (no-op when none).
+
+    Training loops call this before their final best-model restore so the
+    function returns with all checkpoints durably on disk; it is also an
+    atexit hook so an interpreter exit never truncates a scheduled write.
+    """
+    with _LOCK:
+        futs = list(_PENDING.items())
+    err = None
+    for key, fut in futs:
+        try:
+            fut.result()
+        except BaseException as e:  # noqa: BLE001 - re-raised below
+            err = err or e
+        with _LOCK:
+            if _PENDING.get(key) is fut:
+                del _PENDING[key]
+    if err is not None:
+        raise err
 
 
 def _to_host(tree):
@@ -40,16 +101,51 @@ def save_checkpoint(
     state,
     metadata: Dict[str, Any] | None = None,
     include_opt_state: bool = False,
+    block: bool | None = None,
 ) -> None:
     """Write params/batch_stats (+ JSON metadata) under ``directory``.
 
     ``include_opt_state=True`` additionally stores the optimiser state and
     step counter — the "latest" checkpoint flavour used for true
     mid-training resume (the reference has a --start_epoch flag but no
-    actual resume logic anywhere, SURVEY.md §5)."""
+    actual resume logic anywhere, SURVEY.md §5).
+
+    ``block=None`` (default) picks write-behind for single-process runs —
+    the device->host pull happens here, the orbax write + atomic swap on
+    a background thread (drained by ``flush_checkpoints`` / any read
+    helper) — and the synchronous collective path under multi-process
+    groups. ``block=True`` forces the synchronous path."""
+    directory = Path(directory).resolve()
+    multiproc = jax.process_count() > 1
+
+    payload = {
+        "params": _to_host(state.params),
+        "batch_stats": _to_host(state.batch_stats),
+    }
+    if include_opt_state:
+        payload["opt_state"] = _to_host(state.opt_state)
+        payload["step"] = np.asarray(state.step)
+
+    if multiproc or block is True:
+        _write_payload(directory, payload, metadata)
+        return
+    # Backpressure: at most one in-flight write per directory — the
+    # every-epoch "latest" save must never queue payload copies in host
+    # RAM faster than the disk drains them.
+    _wait_dir(directory)
+    fut = _executor().submit(_write_payload, directory, payload, metadata)
+    with _LOCK:
+        _PENDING[str(directory)] = fut
+
+
+def _write_payload(
+    directory: Path,
+    payload: Dict[str, Any],
+    metadata: Dict[str, Any] | None,
+) -> None:
+    """Serialize ``payload`` under ``directory`` with an atomic swap."""
     import shutil
 
-    directory = Path(directory).resolve()
     # Orbax checkpointing is COLLECTIVE under a jax.distributed group
     # (internal sync_global_processes barriers): every process must call
     # this function; filesystem mutations around the orbax save run on
@@ -65,14 +161,6 @@ def save_checkpoint(
             multihost_utils.sync_global_devices(f"otf-ckpt-{tag}")
 
     ckptr = ocp.StandardCheckpointer()
-    payload = {
-        "params": _to_host(state.params),
-        "batch_stats": _to_host(state.batch_stats),
-    }
-    if include_opt_state:
-        payload["opt_state"] = _to_host(state.opt_state)
-        payload["step"] = np.asarray(state.step)
-
     # Atomic swap: write to a temp dir, then rename — a preemption
     # mid-save (the exact event the 'latest' checkpoint exists for) must
     # never destroy the previous checkpoint.
@@ -119,6 +207,7 @@ def _recover_dir(directory: Path) -> Path:
 def checkpoint_exists(directory: str | Path) -> bool:
     """True when ``directory`` (or its `.old` crash fallback) holds a
     restorable checkpoint."""
+    _wait_dir(Path(directory).resolve())
     return _recover_dir(Path(directory).resolve()).exists()
 
 
@@ -126,6 +215,7 @@ def load_metadata(directory: str | Path) -> Dict[str, Any] | None:
     # The meta file is os.replace'd separately after the payload swap, so
     # it keeps its canonical name even when the payload fell back to .old.
     meta = Path(directory).resolve()
+    _wait_dir(meta)
     meta = meta.parent / (meta.name + ".meta.json")
     if meta.exists():
         with open(meta) as f:
@@ -137,6 +227,7 @@ def restore_checkpoint(directory: str | Path, state,
                        include_opt_state: bool = False):
     """Restore params/batch_stats (and optionally opt_state/step) into
     ``state`` (shapes must match)."""
+    _wait_dir(Path(directory).resolve())
     directory = _recover_dir(Path(directory).resolve())
     ckptr = ocp.StandardCheckpointer()
     target = {
@@ -187,6 +278,7 @@ def restore_backbone(
         return graft_torch_resnet3d(state, backbone_ckpt_dir,
                                     target_module, depth)
     directory = Path(backbone_ckpt_dir).resolve()
+    _wait_dir(directory)
     ckptr = ocp.StandardCheckpointer()
     restored = ckptr.restore(directory)  # raw pytree, no target
     src_params = _maybe_rewrite_stem(

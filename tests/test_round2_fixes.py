@@ -30,6 +30,7 @@ def test_checkpoint_crash_between_renames_recovers(tmp_path, rng):
     restore falls back to .old (ADVICE.md finding 2)."""
     from otfusion_tpu.utils.checkpoint import (
         checkpoint_exists,
+        flush_checkpoints,
         restore_checkpoint,
         save_checkpoint,
     )
@@ -37,6 +38,7 @@ def test_checkpoint_crash_between_renames_recovers(tmp_path, rng):
     model, state, mri, pet, tv = _fusion_state(rng)
     directory = tmp_path / "latest"
     save_checkpoint(directory, state, {"epoch": 3}, include_opt_state=True)
+    flush_checkpoints()  # direct fs surgery below needs the write durable
 
     # Simulate the unrecovered window: dir was renamed to .old, the crash
     # hit before .tmp was renamed into place.
@@ -53,6 +55,7 @@ def test_checkpoint_crash_between_renames_recovers(tmp_path, rng):
 
     # Save path: promotes .old back, never rmtree'ing the only survivor.
     save_checkpoint(directory, state, {"epoch": 4}, include_opt_state=True)
+    flush_checkpoints()
     assert directory.exists()
     assert not (tmp_path / "latest.old").exists()
     restore_checkpoint(directory, state, include_opt_state=True)
