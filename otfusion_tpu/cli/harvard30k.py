@@ -20,6 +20,7 @@ from __future__ import annotations
 import argparse
 import os
 import shutil
+import tempfile
 import zipfile
 from pathlib import Path
 
@@ -55,27 +56,32 @@ def merge_zips(work_dir: str | Path, output_dir: str | Path,
             continue
         if verbose:
             print(f"unpacking {filename}")
-        temp_dir = work_dir / "temp"
-        with zipfile.ZipFile(work_dir / filename) as zf:
-            zf.extractall(temp_dir)
-        for subdir, target_name in _SPLIT_DIRS.items():
-            subdir_path = temp_dir / subdir
-            if not subdir_path.exists():
-                continue
-            # drop the .jpg previews before merging (reference :38-41)
-            for root, _, files in os.walk(subdir_path):
-                for f in files:
-                    if f.endswith(".jpg"):
-                        os.remove(os.path.join(root, f))
-            target = output_dir / target_name
-            for item in os.listdir(subdir_path):
-                s_path = subdir_path / item
-                d_path = target / item
-                if s_path.is_dir():
-                    shutil.copytree(s_path, d_path, dirs_exist_ok=True)
-                else:
-                    shutil.copy2(s_path, d_path)
-        shutil.rmtree(temp_dir)
+        # Fresh scratch dir per zip: a fixed work_dir/"temp" would merge
+        # stale leftovers of an interrupted prior run into the output
+        # (and then delete user files occupying that name).
+        temp_dir = Path(tempfile.mkdtemp(prefix=".merge-", dir=work_dir))
+        try:
+            with zipfile.ZipFile(work_dir / filename) as zf:
+                zf.extractall(temp_dir)
+            for subdir, target_name in _SPLIT_DIRS.items():
+                subdir_path = temp_dir / subdir
+                if not subdir_path.exists():
+                    continue
+                # drop the .jpg previews before merging (reference :38-41)
+                for root, _, files in os.walk(subdir_path):
+                    for f in files:
+                        if f.endswith(".jpg"):
+                            os.remove(os.path.join(root, f))
+                target = output_dir / target_name
+                for item in os.listdir(subdir_path):
+                    s_path = subdir_path / item
+                    d_path = target / item
+                    if s_path.is_dir():
+                        shutil.copytree(s_path, d_path, dirs_exist_ok=True)
+                    else:
+                        shutil.copy2(s_path, d_path)
+        finally:
+            shutil.rmtree(temp_dir)
         n += 1
     return n
 

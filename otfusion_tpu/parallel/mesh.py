@@ -48,6 +48,14 @@ def resolve_mesh(
     implies "auto" under multi-host, and any explicit N that does not
     cover the group raises."""
     if jax.process_count() > 1:
+        if tp_size > 1:
+            # The TP step path leaves out_shardings unpinned (_dp_wrap's
+            # tp branch is single-host for now): under a process group
+            # the eval outputs would come back sharded across
+            # non-addressable devices and crash mid-training — reject at
+            # mesh-resolution time instead.
+            raise ValueError(
+                "--tp-size > 1 is not supported with --multihost yet")
         n_global = jax.device_count()
         if num_devices not in (None, 0, 1, "auto") \
                 and int(num_devices) != n_global:

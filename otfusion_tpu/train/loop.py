@@ -112,6 +112,25 @@ def _append_jsonl(path, record):
         f.write(json.dumps(record, default=float) + "\n")
 
 
+class _PhaseClock:
+    """Wall-clock split of one epoch into named phases: call the
+    instance at each phase boundary; ``phases`` maps tag -> seconds
+    since the previous boundary (logged as ``phase_seconds``)."""
+
+    def __init__(self):
+        self.t0 = time.time()
+        self._last = self.t0
+        self.phases = {}
+
+    def __call__(self, tag):
+        now = time.time()
+        self.phases[tag] = round(now - self._last, 3)
+        self._last = now
+
+    def elapsed(self):
+        return time.time() - self.t0
+
+
 class _MaybeProfile:
     """jax.profiler trace for one epoch when ``profile_dir`` is set."""
 
@@ -297,6 +316,12 @@ def run_fusion_training(
         dtype=dtype,
     )
     mri0, pet0, _ = next(iter(feat_loader))
+    # Init/shape-probe at batch 1: feat_loader batches are feature-pass
+    # sized (4x the train batch by default), and model.init runs an eager
+    # forward — at the production config (depth-101 @128^3 bf16) a
+    # full-feature-batch init is a new HBM peak on a setup that already
+    # sits at the OOM edge. Shapes are all init needs.
+    mri0, pet0 = mri0[:1], pet0[:1]
 
     from otfusion_tpu.models.fusion import build_fusion_backbone
 
@@ -409,13 +434,7 @@ def run_fusion_training(
     history = []
     jsonl_path = os.path.join(save_path, "metrics.jsonl")
     for epoch in range(start_epoch, epochs + 1):
-        t0 = time.time()
-        phase_s = {}
-
-        def _clock(tag, _last=[t0]):
-            now = time.time()
-            phase_s[tag] = round(now - _last[0], 3)
-            _last[0] = now
+        _clock = _PhaseClock()
 
         with _MaybeProfile(profile_dir, epoch):
             state, train_loss, train_acc = _run_train_epoch(
@@ -442,7 +461,7 @@ def run_fusion_training(
                 f"Epoch {epoch:03d} | train_loss={train_loss:.4f} "
                 f"train_acc={train_acc:.4f} | val_loss={val_loss:.4f} "
                 f"val_acc={val_acc:.4f} | f1={metrics['f1']:.4f} "
-                f"({time.time() - t0:.1f}s)"
+                f"({_clock.elapsed():.1f}s)"
             )
 
         if val_loss < best_val_loss:
@@ -466,6 +485,10 @@ def run_fusion_training(
         )
         _clock("checkpoint")
 
+        # The jsonl row must log the coupling epoch N TRAINED WITH, not
+        # the end-of-epoch solve consumed by epoch N+1 — capture the log
+        # before compute_tv() overwrites it.
+        epoch_coupling_log = svc.last_log if svc else None
         if needs_tv and epoch < epochs:
             tv = compute_tv()
             _clock("coupling")
@@ -473,13 +496,13 @@ def run_fusion_training(
             "epoch": epoch, "train_loss": train_loss,
             "train_acc": train_acc, "val_loss": val_loss,
             "val_acc": val_acc, **metrics,
-            "epoch_seconds": round(time.time() - t0, 3),
+            "epoch_seconds": round(_clock.elapsed(), 3),
             # wall-clock split of the full epoch: train / eval /
             # checkpoint (best+latest saves) / coupling (feature pass +
             # EGW/FOT solve) — the observability needed to see which
             # phase an epoch actually spends its time in.
-            "phase_seconds": phase_s,
-            "coupling_log": svc.last_log if svc else None,
+            "phase_seconds": _clock.phases,
+            "coupling_log": epoch_coupling_log,
             "lr": scheduler.lr,
         })
 
@@ -611,13 +634,7 @@ def run_unimodal_training(
     history = []
     jsonl_path = os.path.join(save_path, "metrics.jsonl")
     for epoch in range(start_epoch, epochs + 1):
-        t0 = time.time()
-        phase_s = {}
-
-        def _clock(tag, _last=[t0]):
-            now = time.time()
-            phase_s[tag] = round(now - _last[0], 3)
-            _last[0] = now
+        _clock = _PhaseClock()
 
         with _MaybeProfile(profile_dir, epoch):
             state, train_loss, train_acc = _run_train_epoch(
@@ -639,7 +656,7 @@ def run_unimodal_training(
                 f"Epoch {epoch:03d} | train_loss={train_loss:.4f} "
                 f"train_acc={train_acc:.4f} | val_loss={val_loss:.4f} "
                 f"val_acc={val_acc:.4f} | f1={metrics['f1']:.4f} "
-                f"({time.time() - t0:.1f}s)"
+                f"({_clock.elapsed():.1f}s)"
             )
         if val_loss < best_val_loss:
             best_val_loss = val_loss
@@ -659,8 +676,8 @@ def run_unimodal_training(
             "epoch": epoch, "train_loss": train_loss,
             "train_acc": train_acc, "val_loss": val_loss,
             "val_acc": val_acc, **metrics,
-            "epoch_seconds": round(time.time() - t0, 3),
-            "phase_seconds": phase_s,
+            "epoch_seconds": round(_clock.elapsed(), 3),
+            "phase_seconds": _clock.phases,
         })
 
     writer.summary(best_val_loss, best_summary, model_dir)

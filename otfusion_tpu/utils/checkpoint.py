@@ -82,7 +82,7 @@ def flush_checkpoints() -> None:
         raise err
 
 
-def _to_host(tree):
+def _to_host(tree, copy: bool = False):
     def pull(a):
         # Multi-host: a replicated global array is not fully addressable
         # from one process — np.asarray would either raise or issue
@@ -90,7 +90,13 @@ def _to_host(tree):
         # path. The local shard of a replicated array IS the global
         # value; read that.
         if isinstance(a, jax.Array) and not a.is_fully_addressable:
-            return np.asarray(a.addressable_data(0))
+            a = a.addressable_data(0)
+        # copy=True: the save path's write-behind snapshot must not alias
+        # caller memory — np.asarray is a no-copy identity on ndarray
+        # leaves, so a post-save mutation would leak into the background
+        # write (jax.Array leaves copy on the host pull either way).
+        if copy and isinstance(a, np.ndarray):
+            return np.array(a)
         return np.asarray(a)
 
     return jax.tree_util.tree_map(pull, tree)
@@ -119,12 +125,12 @@ def save_checkpoint(
     multiproc = jax.process_count() > 1
 
     payload = {
-        "params": _to_host(state.params),
-        "batch_stats": _to_host(state.batch_stats),
+        "params": _to_host(state.params, copy=True),
+        "batch_stats": _to_host(state.batch_stats, copy=True),
     }
     if include_opt_state:
-        payload["opt_state"] = _to_host(state.opt_state)
-        payload["step"] = np.asarray(state.step)
+        payload["opt_state"] = _to_host(state.opt_state, copy=True)
+        payload["step"] = np.array(state.step)
 
     if multiproc or block is True:
         _write_payload(directory, payload, metadata)

@@ -12,6 +12,7 @@ same setup-directory-name parsing, and the same 14-column CSV schema.
 from __future__ import annotations
 
 import csv
+import math
 import re
 import sys
 from pathlib import Path
@@ -259,6 +260,10 @@ def write_results_xlsx(rows: List[Dict[str, str]],
             try:
                 num = float(value)
             except (TypeError, ValueError):
+                return f'<c r="{ref}"/>'
+            # nan/inf have no XLSX number-cell representation; pandas
+            # writes nan as an empty cell (and int(num) would raise).
+            if not math.isfinite(num):
                 return f'<c r="{ref}"/>'
             # ints render without a trailing .0, like pandas
             text = repr(int(num)) if num == int(num) else repr(num)

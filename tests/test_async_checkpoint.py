@@ -52,14 +52,24 @@ def test_read_helpers_drain_pending_write(tmp_path):
                                   np.full((4, 4), 3.0, np.float32))
 
 
-def test_last_save_wins_and_payload_is_snapshotted(tmp_path):
+def test_payload_is_snapshotted_not_aliased(tmp_path):
     d = tmp_path / "ckpt"
     state = _State(1.0)
     save_checkpoint(d, state, {"epoch": 1})
     # Mutating the live state after save must not leak into the write:
-    # save_checkpoint snapshots to host-numpy on the caller's thread
-    # (the train step donates these buffers right after).
+    # save_checkpoint snapshots (COPIES — np.asarray alone aliases
+    # ndarray leaves) on the caller's thread, because the train step
+    # donates/overwrites these buffers right after.
     state.params["w"][:] = -99.0
+    flush_checkpoints()
+    restored = restore_checkpoint(d, _State(0.0))
+    np.testing.assert_array_equal(restored.params["w"],
+                                  np.full((4, 4), 1.0, np.float32))
+
+
+def test_last_save_wins(tmp_path):
+    d = tmp_path / "ckpt"
+    save_checkpoint(d, _State(1.0), {"epoch": 1})
     save_checkpoint(d, _State(2.0), {"epoch": 2})
     flush_checkpoints()
     assert load_metadata(d)["epoch"] == 2

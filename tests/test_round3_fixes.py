@@ -180,6 +180,10 @@ def test_resolve_mesh_validates_process_group(monkeypatch):
     assert m is not None and m.devices.size == jax.device_count()
     with pytest.raises(ValueError, match="cover all"):
         mesh_mod.resolve_mesh(4)
+    # TP is single-host for now (_dp_wrap's tp branch leaves outputs
+    # unpinned): reject at mesh resolution, not mid-training.
+    with pytest.raises(ValueError, match="tp-size.*multihost"):
+        mesh_mod.resolve_mesh("auto", tp_size=2)
 
 
 def test_aggregator_xlsx_twin(tmp_path):
@@ -215,6 +219,24 @@ def test_aggregator_xlsx_twin(tmp_path):
     assert float(df.loc[0, "val_acc"]) == 0.9167
     assert int(df.loc[0, "best_epoch"]) == 35
     assert "with_pretrain" in str(df.loc[0, "setup"])
+
+
+def test_xlsx_nan_inf_coerce_to_empty_cells(tmp_path):
+    """'nan'/'inf' strings parse via float() but have no XLSX number-cell
+    representation (and int(nan) raises): errors='coerce' parity demands
+    an empty cell, not a crash."""
+    from otfusion_tpu.utils.reporting import CSV_COLUMNS, write_results_xlsx
+
+    row = {c: "x" for c in CSV_COLUMNS}
+    row.update(val_acc="nan", best_val_loss="inf", best_epoch="35",
+               f1_score="-inf")
+    out = tmp_path / "t.xlsx"
+    write_results_xlsx([row], out)
+    import zipfile
+
+    with zipfile.ZipFile(out) as z:
+        sheet = z.read("xl/worksheets/sheet1.xml").decode()
+    assert "35" in sheet and "nan" not in sheet and "inf" not in sheet
 
 
 def test_flagship_trainer_s2d_stem_end_to_end(tmp_path):
