@@ -1,0 +1,210 @@
+"""Standalone inference driver (serving surface).
+
+The reference has NO prediction-only entry point for its unimodal or
+fusion models (only the legacy GAMMA ``test.py``): the flagship
+recomputes the train-set coupling every epoch and evaluates in-loop
+(MRI_PET_OT_OT_per_epoch_attn.py:1233-1356), so a trained model could
+not be served without the training features. The trainers now persist a
+serving manifest (``model_config.json``) and — for the flagship — the
+final coupling (``t_feature.npy``) beside the best checkpoint; this
+driver restores them, predicts over a directory of (paired) NIfTI
+volumes, writes ``predictions.csv`` (paths, true label when class
+subfolders provide one, predicted label, per-class softmax
+probabilities), and prints the usual metrics block when labels exist.
+
+Usage::
+
+    python -m otfusion_tpu.cli.predict --run-dir runs/flagship \
+        --data-dir datasets/ADNI/MRI-PET [--output predictions.csv]
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import os
+from pathlib import Path
+
+
+def load_manifest(run_dir: str) -> dict:
+    path = Path(run_dir) / "model_config.json"
+    if not path.exists():
+        raise FileNotFoundError(
+            f"{path} not found — predict needs the serving manifest the "
+            "trainers write next to the checkpoint (retrain, or create "
+            "it by hand: see cli/predict.py docstring)")
+    with open(path) as f:
+        return json.load(f)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Prediction-only inference from a trained run "
+        "directory (best checkpoint + serving manifest)",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    parser.add_argument("--run-dir", required=True,
+                        help="Training --save-path: holds best_model/, "
+                        "model_config.json (and t_feature.npy for the "
+                        "flagship)")
+    parser.add_argument("--data-dir", required=True,
+                        help="Root of the class folders to predict on "
+                        "(same layout the trainers consume)")
+    parser.add_argument("--output", default=None,
+                        help="Predictions CSV path (default: "
+                        "<run-dir>/predictions.csv)")
+    parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--num-workers", type=int, default=4)
+    parser.add_argument("--max-samples-per-class", type=int, default=None)
+    parser.add_argument("--device", default=None,
+                        help="jax platform override (e.g. cpu)")
+    args = parser.parse_args(argv)
+
+    from otfusion_tpu.cli.common import apply_device_flag
+
+    apply_device_flag(args.device)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from otfusion_tpu.data.loader import Loader, MultimodalLoader
+    from otfusion_tpu.metrics.classification import classification_metrics
+    from otfusion_tpu.train.train_state import create_train_state
+    from otfusion_tpu.utils.checkpoint import restore_checkpoint
+
+    cfg = load_manifest(args.run_dir)
+    target_shape = tuple(cfg["target_shape"])
+    num_classes = int(cfg["num_classes"])
+    dtype = jnp.dtype(cfg.get("dtype", "float32"))
+    ckpt_dir = os.path.join(args.run_dir, "best_model")
+    out_path = args.output or os.path.join(args.run_dir, "predictions.csv")
+
+    if cfg["kind"] == "fusion":
+        from otfusion_tpu.data.datasets import MultimodalNiftiDataset
+        from otfusion_tpu.models import MultimodalOTFusion
+        from otfusion_tpu.train.steps import make_fusion_eval_step
+
+        # The manifest's class_names is the MRI-side table; the PET-side
+        # folder names derive from it the same way the cohorts are laid
+        # out (reference pairing walks per-class folder pairs) — fall
+        # back to a literal twin table when the derived names are absent.
+        table_a = {k: int(v) for k, v in cfg["class_names"].items()}
+        table_b = {
+            k.replace("MRI", "PET"): v for k, v in table_a.items()
+        }
+        if not all(
+            (Path(args.data_dir) / name).is_dir() for name in table_b
+        ):
+            table_b = table_a
+        dataset = MultimodalNiftiDataset(
+            root_dir=args.data_dir,
+            class_names_a=table_a,
+            class_names_b=table_b,
+            max_samples_per_class=args.max_samples_per_class,
+        )
+        print(f"Found {len(dataset)} paired samples")
+        loader = MultimodalLoader(dataset.samples, target_shape,
+                                  args.batch_size, shuffle=False)
+        model = MultimodalOTFusion(
+            num_classes=num_classes,
+            depth=int(cfg["model_depth"]),
+            projection_dropout=float(cfg.get("projection_dropout", 0.0)),
+            variant=cfg["variant"],
+            mri_backbone=cfg.get("mri_backbone", ""),
+            pet_backbone=cfg.get("pet_backbone", ""),
+            s2d_stem=bool(cfg.get("s2d_stem", False)),
+            raw_plan=bool(cfg.get("raw_plan", False)),
+            dtype=dtype,
+        )
+        tv = None
+        if cfg["variant"] == "per_epoch_attn":
+            tv_path = os.path.join(args.run_dir, "t_feature.npy")
+            if not os.path.exists(tv_path):
+                raise FileNotFoundError(
+                    f"{tv_path} not found — the flagship's attention "
+                    "consumes the final training coupling at inference; "
+                    "retrain (the trainer persists it) or point "
+                    "--run-dir at a run that has one")
+            tv = jnp.asarray(np.load(tv_path))
+        mri0, pet0, _ = next(iter(loader))
+        state = create_train_state(
+            model, jax.random.key(0),
+            (jnp.asarray(mri0[:1]), jnp.asarray(pet0[:1])),
+            1e-3, t_feature=tv,
+        )
+        state = restore_checkpoint(ckpt_dir, state)
+        eval_step = make_fusion_eval_step(model)
+
+        def run_batch(batch):
+            mri, pet, labels = batch
+            return eval_step(state, jnp.asarray(mri), jnp.asarray(pet),
+                             jnp.asarray(labels), tv)
+
+        sample_paths = [(s[0], s[1]) for s in dataset.samples]
+    else:
+        from otfusion_tpu.data.datasets import NiftiDataset
+        from otfusion_tpu.models import ResNet3DClassifier
+        from otfusion_tpu.train.steps import make_unimodal_eval_step
+
+        table = {k: int(v) for k, v in cfg["class_names"].items()}
+        dataset = NiftiDataset(
+            root_dir=args.data_dir, class_names=table,
+            max_samples_per_class=args.max_samples_per_class,
+        )
+        print(f"Found {len(dataset)} samples")
+        loader = Loader(dataset.samples, target_shape, args.batch_size,
+                        shuffle=False)
+        model = ResNet3DClassifier(
+            depth=int(cfg["model_depth"]), num_classes=num_classes,
+            s2d_stem=bool(cfg.get("s2d_stem", False)), dtype=dtype,
+        )
+        vol0, _ = next(iter(loader))
+        state = create_train_state(model, jax.random.key(0),
+                                   (jnp.asarray(vol0[:1]),), 1e-3)
+        state = restore_checkpoint(ckpt_dir, state)
+        eval_step = make_unimodal_eval_step(model)
+
+        def run_batch(batch):
+            vol, labels = batch
+            return eval_step(state, jnp.asarray(vol), jnp.asarray(labels))
+
+        sample_paths = [(s[0],) for s in dataset.samples]
+
+    preds, targets, probs = [], [], []
+    for batch in loader:
+        out = run_batch(batch)
+        logits = np.asarray(out["logits"], np.float32)
+        e = np.exp(logits - logits.max(axis=-1, keepdims=True))
+        probs.append(e / e.sum(axis=-1, keepdims=True))
+        preds.extend(np.asarray(out["preds"]).tolist())
+        targets.extend(np.asarray(batch[-1]).tolist())
+    probs = np.concatenate(probs) if probs else np.zeros((0, num_classes))
+
+    path_cols = (["mri_path", "pet_path"] if cfg["kind"] == "fusion"
+                 else ["path"])
+    with open(out_path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(path_cols + ["label", "pred"]
+                   + [f"prob_{c}" for c in range(num_classes)])
+        for paths, label, pred, p in zip(sample_paths, targets, preds,
+                                         probs):
+            w.writerow([*paths, label, pred]
+                       + [f"{float(x):.6f}" for x in p])
+    print(f"Wrote {len(preds)} predictions to {out_path}")
+
+    # Class folders double as labels — report the usual metrics block.
+    t = np.asarray(targets)
+    p = np.asarray(preds)
+    if len(t):
+        m = classification_metrics(t, p, num_classes)
+        acc = float((t == p).mean())
+        print(f"Accuracy: {acc:.4f} Precision: {m['precision']:.4f} "
+              f"Recall: {m['recall']:.4f} F1: {m['f1']:.4f} "
+              f"Specificity: {m['specificity']:.4f}")
+    return out_path
+
+
+if __name__ == "__main__":
+    main()

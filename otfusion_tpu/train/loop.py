@@ -315,6 +315,22 @@ def run_fusion_training(
         raw_plan=raw_plan,
         dtype=dtype,
     )
+    if _is_primary():
+        # Serving manifest: everything cli/predict.py needs to rebuild
+        # this exact model around the best checkpoint.
+        with open(os.path.join(save_path, "model_config.json"), "w") as f:
+            json.dump({
+                "kind": "fusion", "variant": variant,
+                "model_depth": model_depth,
+                "target_shape": list(target_shape),
+                "num_classes": num_classes,
+                "projection_dropout": projection_dropout,
+                "mri_backbone": mri_backbone,
+                "pet_backbone": pet_backbone,
+                "s2d_stem": s2d_stem, "raw_plan": raw_plan,
+                "dtype": np.dtype(dtype).name,
+                "class_names": class_names,
+            }, f, indent=2)
     mri0, pet0, _ = next(iter(feat_loader))
     # Init/shape-probe at batch 1: feat_loader batches are feature-pass
     # sized (4x the train batch by default), and model.init runs an eager
@@ -525,6 +541,16 @@ def run_fusion_training(
                 and len(logits) > 3):
             save_tsne_png(logits, targets,
                           os.path.join(save_path, "tsne_best_val.png"))
+        if needs_tv:
+            # Persist the final coupling: the flagship's attention
+            # consumes Tv at inference, so without it a trained model is
+            # not servable standalone (the reference recomputes the plan
+            # from TRAIN-set features every epoch and never saves it,
+            # attn:1233-1296). cli/predict.py restores this.
+            from otfusion_tpu.utils.checkpoint import _to_host
+
+            np.save(os.path.join(save_path, "t_feature.npy"),
+                    _to_host(final_tv))
 
     return {
         "best_val_loss": best_val_loss,
@@ -597,9 +623,21 @@ def run_unimodal_training(
 
     model = ResNet3DClassifier(depth=model_depth, num_classes=num_classes,
                                s2d_stem=s2d_stem, dtype=dtype)
+    if _is_primary():
+        # Serving manifest for cli/predict.py (fusion-loop counterpart
+        # above).
+        with open(os.path.join(save_path, "model_config.json"), "w") as f:
+            json.dump({
+                "kind": "unimodal", "model_depth": model_depth,
+                "target_shape": list(target_shape),
+                "num_classes": num_classes, "s2d_stem": s2d_stem,
+                "dtype": np.dtype(dtype).name,
+                "class_names": class_names,
+            }, f, indent=2)
     vol0, _ = next(iter(val_loader)) if len(val_loader) else next(iter(train_loader))
+    # init at batch 1 — model.init runs an eager forward; shapes suffice
     state = create_train_state(
-        model, jax.random.key(seed), (jnp.asarray(vol0),), lr,
+        model, jax.random.key(seed), (jnp.asarray(vol0[:1]),), lr,
         optimizer="adam",
     )
     state = _place(state)

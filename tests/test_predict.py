@@ -1,0 +1,112 @@
+"""Standalone inference driver (cli/predict.py) + serving artifacts.
+
+The trainers persist a serving manifest (model_config.json) and — for
+the flagship — the final coupling (t_feature.npy); predict rebuilds the
+exact model around the best checkpoint and its CSV predictions must
+match a direct library-side eval of that checkpoint.
+"""
+
+import csv
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from otfusion_tpu.data import make_synthetic_adni
+from otfusion_tpu.data.datasets import (
+    CLASS_NAMES_MRI_BINARY,
+    CLASS_NAMES_PET_BINARY,
+    MultimodalNiftiDataset,
+    NiftiDataset,
+)
+from otfusion_tpu.train.loop import run_fusion_training, run_unimodal_training
+
+
+def test_flagship_predict_matches_checkpoint_eval(tmp_path):
+    from otfusion_tpu.cli.predict import main as predict_main
+
+    tree = make_synthetic_adni(tmp_path / "adni", n_per_class=3,
+                               shape=(8, 8, 8))
+    ds = MultimodalNiftiDataset(
+        root_dir=str(tree), class_names_a=CLASS_NAMES_MRI_BINARY,
+        class_names_b=CLASS_NAMES_PET_BINARY)
+    n = len(ds.samples)
+    val_idx = list(range(0, n, 3))
+    train_idx = [i for i in range(n) if i not in val_idx]
+    run_dir = tmp_path / "run"
+    run_fusion_training(
+        samples=ds.samples, train_idx=train_idx, val_idx=val_idx,
+        class_names=CLASS_NAMES_MRI_BINARY, variant="per_epoch_attn",
+        model_depth=10, target_shape=(8, 8, 8), batch_size=4, lr=1e-3,
+        epochs=1, seed=0, save_path=str(run_dir),
+        max_jax_samples=4, gw_max_iterations=20,
+        sinkhorn_max_iterations=50, progress=False,
+    )
+    # serving artifacts landed
+    assert (run_dir / "model_config.json").exists()
+    assert (run_dir / "t_feature.npy").exists()
+    cfg = json.loads((run_dir / "model_config.json").read_text())
+    assert cfg["kind"] == "fusion" and cfg["variant"] == "per_epoch_attn"
+
+    out = predict_main(["--run-dir", str(run_dir),
+                        "--data-dir", str(tree), "--batch-size", "3"])
+    rows = list(csv.DictReader(open(out)))
+    assert len(rows) == n
+    assert set(r["pred"] for r in rows) <= {"0", "1"}
+
+    # CSV predictions == a direct eval of the restored checkpoint
+    from otfusion_tpu.models import MultimodalOTFusion
+    from otfusion_tpu.train.steps import make_fusion_eval_step
+    from otfusion_tpu.train.train_state import create_train_state
+    from otfusion_tpu.utils.checkpoint import restore_checkpoint
+
+    tv = jnp.asarray(np.load(run_dir / "t_feature.npy"))
+    model = MultimodalOTFusion(num_classes=2, depth=10,
+                               variant="per_epoch_attn")
+    from otfusion_tpu.data.loader import MultimodalLoader
+
+    loader = MultimodalLoader(ds.samples, (8, 8, 8), 4, shuffle=False)
+    mri0, pet0, _ = next(iter(loader))
+    state = create_train_state(
+        model, jax.random.key(0),
+        (jnp.asarray(mri0[:1]), jnp.asarray(pet0[:1])), 1e-3,
+        t_feature=tv)
+    state = restore_checkpoint(run_dir / "best_model", state)
+    eval_step = make_fusion_eval_step(model)
+    direct = []
+    for mri, pet, labels in loader:
+        out_b = eval_step(state, jnp.asarray(mri), jnp.asarray(pet),
+                          jnp.asarray(labels), tv)
+        direct.extend(np.asarray(out_b["preds"]).tolist())
+    assert [int(r["pred"]) for r in rows] == direct
+    # probabilities are a softmax: rows sum to 1
+    for r in rows:
+        assert abs(float(r["prob_0"]) + float(r["prob_1"]) - 1.0) < 1e-4
+
+
+def test_unimodal_predict(tmp_path):
+    from otfusion_tpu.cli.predict import main as predict_main
+
+    tree = make_synthetic_adni(tmp_path / "adni", n_per_class=3,
+                               shape=(8, 8, 8))
+    mri_root = tree
+    ds = NiftiDataset(root_dir=str(mri_root),
+                      class_names=CLASS_NAMES_MRI_BINARY)
+    n = len(ds.samples)
+    val_idx = list(range(0, n, 3))
+    train_idx = [i for i in range(n) if i not in val_idx]
+    run_dir = tmp_path / "run"
+    run_unimodal_training(
+        samples=ds.samples, train_idx=train_idx, val_idx=val_idx,
+        class_names=CLASS_NAMES_MRI_BINARY, model_depth=10,
+        target_shape=(8, 8, 8), batch_size=4, lr=1e-3, epochs=1, seed=0,
+        save_path=str(run_dir), progress=False,
+    )
+    cfg = json.loads((run_dir / "model_config.json").read_text())
+    assert cfg["kind"] == "unimodal"
+    out = predict_main(["--run-dir", str(run_dir),
+                        "--data-dir", str(mri_root)])
+    rows = list(csv.DictReader(open(out)))
+    assert len(rows) == n
+    assert all(r["path"] for r in rows)
