@@ -44,6 +44,11 @@ def main():
     ap.add_argument("csvs", nargs="+")
     ap.add_argument("--out-dir", default="examples/synthetic_demo")
     ap.add_argument("--config", default="")
+    ap.add_argument(
+        "--conclusion-file",
+        default=None,
+        help="markdown fragment appended verbatim as the summary's final section",
+    )
     args = ap.parse_args()
 
     header, rows = load_rows(args.csvs)
@@ -65,7 +70,7 @@ def main():
 
     flag, mm = arr("mri_pet_ot_attention"), arr("mmfusion")
     uni = np.maximum(arr("unimodal_mri"), arr("unimodal_pet"))
-    d_fm, d_mu = flag - mm, mm - uni
+    d_fm, d_mu, d_fu = flag - mm, mm - uni, flag - uni
 
     import os
     os.makedirs(args.out_dir, exist_ok=True)
@@ -109,7 +114,11 @@ def main():
         "",
         f"* flagship − mmfusion: {paired(d_fm)}",
         f"* mmfusion − best unimodal: {paired(d_mu)}",
+        f"* flagship − best unimodal: {paired(d_fu)}",
     ]
+    if args.conclusion_file:
+        with open(args.conclusion_file) as f:
+            lines += ["", f.read().rstrip()]
     md_path = os.path.join(args.out_dir, "hard_cohort_summary.md")
     with open(md_path, "w") as f:
         f.write("\n".join(lines) + "\n")
