@@ -204,6 +204,52 @@ def bench_train_step(depth=101, batch=8, side=128,
     return step_s, batch / step_s, mfu, flops
 
 
+def bench_infer_step(depth=101, batch=8, side=128, s2d_stem=False):
+    """Forward-only (serving) step at the production shape — what
+    cli/predict.py runs per batch. Returns (step_seconds, samples/s)."""
+    import jax
+    import jax.numpy as jnp
+
+    from otfusion_tpu.models import MultimodalOTFusion
+    from otfusion_tpu.models.resnet3d import feature_dim
+    from otfusion_tpu.train import create_train_state
+    from otfusion_tpu.train.steps import make_fusion_eval_step
+
+    model = MultimodalOTFusion(
+        num_classes=2, depth=depth, variant="per_epoch_attn",
+        dtype=jnp.bfloat16, remat=False, s2d_stem=s2d_stem,
+    )
+    d = feature_dim(depth)
+    rng = np.random.default_rng(2)
+    shape = (batch, side, side, side, 1)
+    mri = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    pet = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 2, size=batch))
+    tv = jnp.full((d, d), 1.0 / (d * d), jnp.float32)
+    state = create_train_state(model, jax.random.key(0), (mri, pet), 1e-4,
+                               t_feature=tv)
+    step = make_fusion_eval_step(model)
+
+    # same honest-timing recipe as the train step: perturb inputs on the
+    # previous output, sync by fetching a scalar
+    eps = jnp.float32(0.0)
+    warm, n_runs = 5, 10
+    times = []
+    for i in range(warm + n_runs):
+        t0 = time.time()
+        out = step(state, mri * (1.0 + eps), pet, labels, tv)
+        eps = out["loss"] * 1e-9
+        float(out["loss"])
+        times.append(time.time() - t0)
+    step_s = float(np.median(times[warm:]))
+    print(
+        f"# infer step depth{depth} B{batch} @{side}^3 bf16: "
+        f"{step_s*1000:.0f} ms | {batch/step_s:.2f} samples/s",
+        file=sys.stderr,
+    )
+    return step_s, batch / step_s
+
+
 def main():
     from otfusion_tpu.cli.common import enable_compilation_cache
 
@@ -246,6 +292,14 @@ def main():
         except Exception as e:
             print(f"# base-step bench failed: {e}", file=sys.stderr)
             extra["base_step_error"] = str(e)[:200]
+        # Forward-only serving step (cli/predict.py's per-batch cost).
+        try:
+            step_s, sps = bench_infer_step()
+            extra["infer_step_ms"] = round(step_s * 1000, 1)
+            extra["infer_samples_per_s"] = round(sps, 2)
+        except Exception as e:
+            print(f"# infer-step bench failed: {e}", file=sys.stderr)
+            extra["infer_step_error"] = str(e)[:200]
 
     print(json.dumps({
         "metric": "per_epoch_ot_coupling_speedup_vs_cpu_numpy",

@@ -138,6 +138,7 @@ def fusion_main(
         pet_backbone=args.pet_backbone,
         remat=args.remat,
         s2d_stem=args.s2d_stem,
+        grad_accum=args.grad_accum,
         raw_plan=args.raw_reference_plan,
         dtype=resolve_dtype(args.dtype),
         num_classes=2,

@@ -67,6 +67,15 @@ def add_common_args(parser: argparse.ArgumentParser, *, epochs: int,
                              "7x7 stem that fills the MXU better "
                              "(pretrained imports are rewritten "
                              "losslessly; TPU-native addition)")
+    parser.add_argument("--grad-accum", type=int, default=1,
+                        help="Split each batch into N sequential "
+                             "microbatches inside the jitted step "
+                             "(lax.scan): one optimiser update per "
+                             "batch with averaged gradients, activation "
+                             "memory of a single microbatch — train at "
+                             "effective batches HBM cannot hold whole. "
+                             "Partial final batches run unaccumulated "
+                             "(TPU-native addition)")
 
 
 def add_ot_args(parser: argparse.ArgumentParser) -> None:

@@ -150,6 +150,7 @@ def main(argv=None):
         save_path=args.save_path,
         augment=args.augment,
         s2d_stem=args.s2d_stem,
+        grad_accum=args.grad_accum,
         dtype=resolve_dtype(args.dtype),
         profile_dir=args.profile_dir,
         resume=args.resume,

@@ -301,7 +301,7 @@ def make_dp_fusion_steps(model, mesh: Mesh, **train_kwargs):
     )
 
 
-def make_dp_unimodal_steps(model, mesh: Mesh):
+def make_dp_unimodal_steps(model, mesh: Mesh, **train_kwargs):
     """(train_step, eval_step) for the unimodal trainer over ``mesh``
     (DP on a 1-D mesh; DP + Dense-kernel TP on a 2-D mesh)."""
     from otfusion_tpu.train.steps import (
@@ -310,7 +310,7 @@ def make_dp_unimodal_steps(model, mesh: Mesh):
     )
 
     tp = has_model_axis(mesh)
-    train_raw = make_unimodal_train_step(model, jit=False)
+    train_raw = make_unimodal_train_step(model, jit=False, **train_kwargs)
     eval_raw = make_unimodal_eval_step(model, jit=False)
     # (state, vol, labels, rng) / (state, vol, labels)
     return (

@@ -230,6 +230,7 @@ def run_fusion_training(
     # equivalence tests use this to disable the early exit).
     fot_max_iterations: int = 2000,
     fot_threshold: float = 1e-3,
+    grad_accum: int = 1,
     feature_batch_size: Optional[int] = None,
     mri_pretrained: Optional[str] = None,
     pet_pretrained: Optional[str] = None,
@@ -382,6 +383,7 @@ def run_fusion_training(
             fot_epsilon=1e-3,
             fot_max_iterations=fot_max_iterations,
             fot_threshold=fot_threshold,
+            grad_accum=grad_accum,
         )
     else:
         train_step = make_fusion_train_step(
@@ -390,6 +392,7 @@ def run_fusion_training(
             fot_epsilon=1e-3,
             fot_max_iterations=fot_max_iterations,
             fot_threshold=fot_threshold,
+            grad_accum=grad_accum,
             # Donate the input state: the old parameter/optimiser buffers
             # are freed during the step — at depth-101/128^3/B8 that
             # headroom is the difference between fitting HBM and
@@ -575,6 +578,7 @@ def run_unimodal_training(
     save_path: str,
     augment: bool = False,
     s2d_stem: bool = False,
+    grad_accum: int = 1,
     dtype=jnp.float32,
     results_title: str = "3D ResNet Training Results - ADNI MRI Dataset",
     config_lines: Optional[Dict[str, object]] = None,
@@ -644,9 +648,11 @@ def run_unimodal_training(
     if mesh is not None:
         from otfusion_tpu.parallel import make_dp_unimodal_steps
 
-        train_step, eval_step = make_dp_unimodal_steps(model, mesh)
+        train_step, eval_step = make_dp_unimodal_steps(
+            model, mesh, grad_accum=grad_accum)
     else:
-        train_step = make_unimodal_train_step(model, donate=True)
+        train_step = make_unimodal_train_step(model, donate=True,
+                                              grad_accum=grad_accum)
         eval_step = make_unimodal_eval_step(model)
 
     writer = (

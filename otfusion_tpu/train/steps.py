@@ -44,6 +44,7 @@ def make_fusion_train_step(
     fot_threshold: float = 1e-3,
     donate: bool = True,
     jit: bool = True,
+    grad_accum: int = 1,
 ) -> Callable:
     """Train step for MultimodalOTFusion.
 
@@ -51,13 +52,26 @@ def make_fusion_train_step(
     (identity sample plan over the batch, eps=1e-3 — MRI_PET_OT.py:664-697)
     but solved on-device inside this very step. Otherwise the per-epoch
     coupling ``t_feature`` (or None for mmfusion) is used as-is.
+
+    ``grad_accum=N`` splits the batch into N sequential microbatches
+    inside the jitted step (``lax.scan``): activations live only one
+    microbatch at a time (a memory knob for large effective batches on
+    limited HBM), gradients average across microbatches before ONE
+    optimiser update, BatchNorm statistics update sequentially per
+    microbatch, and each microbatch draws its own dropout fold. A batch
+    whose size does not divide N (the loader's final partial batch)
+    traces the plain unaccumulated path — same convention as the DP
+    partial-batch fallback. With ``in_batch_fot`` the per-batch plan is
+    solved per MICROBATCH (the reference's in-batch coupling at the
+    microbatch size).
     """
     use_ot_loss = model.variant in ("per_epoch_attn", "base")
 
-    def step(state: FusionTrainState, mri, pet, labels, t_feature, rng):
+    def grads_and_aux(params, batch_stats, mri, pet, labels, t_feature,
+                      rng):
         def loss_fn(params):
             out, new_stats = _apply(
-                model, params, state.batch_stats, mri, pet,
+                model, params, batch_stats, mri, pet,
                 t_feature=t_feature, train=True, rng=rng,
             )
             ce = cross_entropy(out["logits"], labels)
@@ -83,16 +97,46 @@ def make_fusion_train_step(
             loss = ce + ot_loss
             return loss, (out["logits"], ce, ot_loss, new_stats)
 
-        grads, (logits, ce, ot_loss, new_stats) = jax.grad(
-            loss_fn, has_aux=True
-        )(state.params)
+        return jax.grad(loss_fn, has_aux=True)(params)
+
+    def step(state: FusionTrainState, mri, pet, labels, t_feature, rng):
+        n = mri.shape[0]
+        k = grad_accum if (grad_accum > 1 and n >= grad_accum
+                           and n % grad_accum == 0) else 1
+        if k == 1:
+            grads, (logits, ce, ot_loss, new_stats) = grads_and_aux(
+                state.params, state.batch_stats, mri, pet, labels,
+                t_feature, rng,
+            )
+            correct = jnp.sum(jnp.argmax(logits, -1) == labels)
+        else:
+            b = n // k
+
+            def micro(carry, i):
+                acc, stats = carry
+                sl = lambda x: jax.lax.dynamic_slice_in_dim(x, i * b, b, 0)
+                lbl = sl(labels)
+                g, (logits, ce, ot, new_stats) = grads_and_aux(
+                    state.params, stats, sl(mri), sl(pet), lbl,
+                    t_feature, jax.random.fold_in(rng, i),
+                )
+                acc = jax.tree_util.tree_map(jnp.add, acc, g)
+                corr = jnp.sum(jnp.argmax(logits, -1) == lbl)
+                return (acc, new_stats), (ce, ot, corr)
+
+            zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (gsum, new_stats), (ces, ots, corrs) = jax.lax.scan(
+                micro, (zero, state.batch_stats), jnp.arange(k))
+            grads = jax.tree_util.tree_map(lambda g: g / k, gsum)
+            # equal microbatch sizes -> mean of means == batch mean
+            ce, ot_loss, correct = ces.mean(), ots.mean(), corrs.sum()
         state = state.apply_gradients(grads=grads)
         state = state.replace(batch_stats=new_stats)
         metrics = {
             "loss": ce + ot_loss,
             "ce_loss": ce,
             "ot_loss": ot_loss,
-            "correct": jnp.sum(jnp.argmax(logits, -1) == labels),
+            "correct": correct,
         }
         return state, metrics
 
@@ -159,25 +203,55 @@ def make_feature_extract_step(model, jit: bool = True) -> Callable:
 
 
 def make_unimodal_train_step(model, donate: bool = True,
-                             jit: bool = True) -> Callable:
-    """CE-only train step for ResNet3DClassifier (3D_resnet.py:477-513)."""
+                             jit: bool = True,
+                             grad_accum: int = 1) -> Callable:
+    """CE-only train step for ResNet3DClassifier (3D_resnet.py:477-513).
 
-    def step(state: FusionTrainState, vol, labels, rng):
+    ``grad_accum`` follows the same microbatching contract as
+    ``make_fusion_train_step``.
+    """
+
+    def grads_and_aux(params, batch_stats, vol, labels, rng):
         def loss_fn(params):
             (logits, feats), new_stats = _apply(
-                model, params, state.batch_stats, vol, train=True, rng=rng
+                model, params, batch_stats, vol, train=True, rng=rng
             )
-            return cross_entropy(logits, labels), (logits, new_stats)
+            ce = cross_entropy(logits, labels)
+            return ce, (logits, ce, new_stats)
 
-        grads, (logits, new_stats) = jax.grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        return jax.grad(loss_fn, has_aux=True)(params)
+
+    def step(state: FusionTrainState, vol, labels, rng):
+        n = vol.shape[0]
+        k = grad_accum if (grad_accum > 1 and n >= grad_accum
+                           and n % grad_accum == 0) else 1
+        if k == 1:
+            grads, (logits, ce, new_stats) = grads_and_aux(
+                state.params, state.batch_stats, vol, labels, rng)
+            correct = jnp.sum(jnp.argmax(logits, -1) == labels)
+        else:
+            b = n // k
+
+            def micro(carry, i):
+                acc, stats = carry
+                sl = lambda x: jax.lax.dynamic_slice_in_dim(x, i * b, b, 0)
+                lbl = sl(labels)
+                g, (logits, ce, new_stats) = grads_and_aux(
+                    state.params, stats, sl(vol), lbl,
+                    jax.random.fold_in(rng, i),
+                )
+                acc = jax.tree_util.tree_map(jnp.add, acc, g)
+                corr = jnp.sum(jnp.argmax(logits, -1) == lbl)
+                return (acc, new_stats), (ce, corr)
+
+            zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (gsum, new_stats), (ces, corrs) = jax.lax.scan(
+                micro, (zero, state.batch_stats), jnp.arange(k))
+            grads = jax.tree_util.tree_map(lambda g: g / k, gsum)
+            ce, correct = ces.mean(), corrs.sum()
         state = state.apply_gradients(grads=grads)
         state = state.replace(batch_stats=new_stats)
-        return state, {
-            "loss": cross_entropy(logits, labels),
-            "correct": jnp.sum(jnp.argmax(logits, -1) == labels),
-        }
+        return state, {"loss": ce, "correct": correct}
 
     if not jit:
         return step
