@@ -118,6 +118,7 @@ def fusion_main(
         train_idx=train_idx,
         val_idx=val_idx,
         class_names=table_a,
+        class_names_b=table_b,
         variant=variant,
         model_depth=args.model_depth,
         target_shape=tuple(args.target_shape),

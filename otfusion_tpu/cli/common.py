@@ -34,11 +34,14 @@ def add_common_args(parser: argparse.ArgumentParser, *, epochs: int,
                              "LR-scheduler state; TPU-native addition)")
     parser.add_argument("--device", type=str, default="tpu",
                         help="Accelerator platform (tpu; cpu for debugging)")
-    parser.add_argument("--num-devices", type=str, default="1",
+    parser.add_argument("--num-devices", type=str, default="default",
                         help="Data-parallel chips: N, or 'auto' for all "
                              "visible devices (batch shards over a 1-D "
                              "mesh, gradients all-reduce over ICI; "
-                             "TPU-native addition)")
+                             "TPU-native addition). Default: 1 device "
+                             "single-process, 'auto' under --multihost "
+                             "(a multi-process mesh must span the whole "
+                             "group — explicit N that doesn't raises)")
     parser.add_argument("--multihost", action="store_true",
                         help="Join a jax.distributed process group before "
                              "backend init (coordinator/process env vars "
@@ -115,9 +118,15 @@ def add_ot_args(parser: argparse.ArgumentParser) -> None:
                              "PARITY.md, behavioural deviations)")
 
 
-def resolve_num_devices(value: str) -> "int | str":
-    """--num-devices: 'auto' passes through, anything else must be an int."""
-    return "auto" if value == "auto" else int(value)
+def resolve_num_devices(value: str) -> "int | str | None":
+    """--num-devices: 'auto' passes through, the unset default becomes
+    None (resolve_mesh picks 1 single-process / 'auto' multi-process),
+    anything else must be an int."""
+    if value == "auto":
+        return "auto"
+    if value == "default":
+        return None
+    return int(value)
 
 
 def set_seed(seed: int) -> None:

@@ -86,24 +86,42 @@ def main(argv=None):
         from otfusion_tpu.models import MultimodalOTFusion
         from otfusion_tpu.train.steps import make_fusion_eval_step
 
-        # The manifest's class_names is the MRI-side table; the PET-side
-        # folder names derive from it the same way the cohorts are laid
-        # out (reference pairing walks per-class folder pairs) — fall
-        # back to a literal twin table when the derived names are absent.
         table_a = {k: int(v) for k, v in cfg["class_names"].items()}
-        table_b = {
-            k.replace("MRI", "PET"): v for k, v in table_a.items()
-        }
-        if not all(
-            (Path(args.data_dir) / name).is_dir() for name in table_b
-        ):
-            table_b = table_a
+        if cfg.get("class_names_b"):
+            # Trainers persist the second-modality table verbatim — the
+            # only reliable source (a name heuristic cannot recover e.g.
+            # T1->T2 pairings).
+            table_b = {k: int(v) for k, v in cfg["class_names_b"].items()}
+        else:
+            # Legacy manifest (pre class_names_b): derive the PET-side
+            # names the way the ADNI cohorts are laid out. Refuse to
+            # guess further — silently pairing table_a with itself
+            # (which is what a no-op MRI->PET rename or missing folders
+            # would mean) predicts on the wrong modality (the T1/T2
+            # trap).
+            table_b = {
+                k.replace("MRI", "PET"): v for k, v in table_a.items()
+            }
+            missing = [name for name in table_b
+                       if not (Path(args.data_dir) / name).is_dir()]
+            if missing or table_b.keys() == table_a.keys():
+                raise FileNotFoundError(
+                    "legacy manifest has no class_names_b and the "
+                    "second-modality folders cannot be derived from "
+                    f"class_names {sorted(table_a)} "
+                    f"(missing/underivable: {missing or 'same names'}) "
+                    f"under {args.data_dir} — add \"class_names_b\" to "
+                    f"{Path(args.run_dir) / 'model_config.json'} (the "
+                    "second-modality class-folder table the run was "
+                    "trained with)")
         dataset = MultimodalNiftiDataset(
             root_dir=args.data_dir,
             class_names_a=table_a,
             class_names_b=table_b,
             max_samples_per_class=args.max_samples_per_class,
         )
+        # (an empty cohort raises inside MultimodalNiftiDataset with the
+        # folder names — no silent 0-sample run reaches the model)
         print(f"Found {len(dataset)} paired samples")
         loader = MultimodalLoader(dataset.samples, target_shape,
                                   args.batch_size, shuffle=False)
@@ -153,6 +171,7 @@ def main(argv=None):
             root_dir=args.data_dir, class_names=table,
             max_samples_per_class=args.max_samples_per_class,
         )
+        # (an empty cohort raises inside NiftiDataset — see above)
         print(f"Found {len(dataset)} samples")
         loader = Loader(dataset.samples, target_shape, args.batch_size,
                         shuffle=False)

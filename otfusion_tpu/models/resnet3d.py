@@ -53,6 +53,11 @@ def space_to_depth_hw(x):
     """(B, D, H, W, C) -> (B, D, H/2, W/2, 4C): 2x2 H/W blocks move to
     channels, channel index = (dh*2 + dw)*C + c."""
     b, d, h, w, c = x.shape
+    if h % 2 or w % 2:
+        raise ValueError(
+            f"--s2d-stem requires even H and W (got H={h}, W={w}): the "
+            "2x2 space-to-depth rearrangement has no remainder rows. "
+            "Use an even --target-shape or the plain stem.")
     x = x.reshape(b, d, h // 2, 2, w // 2, 2, c)
     x = x.transpose(0, 1, 2, 4, 3, 5, 6)
     return x.reshape(b, d, h // 2, w // 2, 4 * c)

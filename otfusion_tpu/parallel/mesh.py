@@ -44,9 +44,10 @@ def resolve_mesh(
     Multi-process groups MUST span every global device: a mesh over a
     subset (or no mesh at all) would silently train one divergent model
     per process while weighting local losses by global counts
-    (ADVICE.md round-2 finding 3). The --num-devices default therefore
-    implies "auto" under multi-host, and any explicit N that does not
-    cover the group raises."""
+    (ADVICE.md round-2 finding 3). The --num-devices default (None)
+    therefore implies "auto" under multi-host, and any EXPLICIT N that
+    does not cover the group — including 1 — raises rather than being
+    silently widened."""
     if jax.process_count() > 1:
         if tp_size > 1:
             # The TP step path leaves out_shardings unpinned (_dp_wrap's
@@ -57,12 +58,13 @@ def resolve_mesh(
             raise ValueError(
                 "--tp-size > 1 is not supported with --multihost yet")
         n_global = jax.device_count()
-        if num_devices not in (None, 0, 1, "auto") \
+        if num_devices not in (None, 0, "auto") \
                 and int(num_devices) != n_global:
             raise ValueError(
                 f"--num-devices {num_devices} in a "
                 f"{jax.process_count()}-process group: the mesh must "
-                f"cover all {n_global} global devices (use 'auto')")
+                f"cover all {n_global} global devices (use 'auto' or "
+                "omit the flag)")
         num_devices = "auto"
     if num_devices in (None, 1) and tp_size <= 1:
         return None

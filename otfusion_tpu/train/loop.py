@@ -112,6 +112,26 @@ def _append_jsonl(path, record):
         f.write(json.dumps(record, default=float) + "\n")
 
 
+def _rewrite_last_jsonl(path, record):
+    """Atomically replace the last line of the jsonl stream.
+
+    The epoch row is appended right after eval so a crash during the
+    (potentially minutes-long) checkpoint save or end-of-epoch coupling
+    solve cannot lose a completed epoch's metrics; once those trailing
+    phases finish, the same row is replaced with the complete record
+    (full phase_seconds, post-plateau-scheduler lr). tmp+rename keeps
+    the file valid if the process dies mid-rewrite."""
+    if not _is_primary():
+        return
+    with open(path) as f:
+        lines = f.readlines()
+    lines[-1] = json.dumps(record, default=float) + "\n"
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.writelines(lines)
+    os.replace(tmp, path)
+
+
 class _PhaseClock:
     """Wall-clock split of one epoch into named phases: call the
     instance at each phase boundary; ``phases`` maps tag -> seconds
@@ -213,6 +233,10 @@ def run_fusion_training(
     class_names: Dict[str, int],
     variant: str,
     model_depth: int,
+    # Second-modality (PET/T2) class-folder table, persisted in the
+    # serving manifest so cli/predict.py can rebuild the paired dataset
+    # exactly (a name heuristic cannot recover e.g. T1->T2 pairings).
+    class_names_b: Optional[Dict[str, int]] = None,
     target_shape,
     batch_size: int,
     lr: float,
@@ -248,7 +272,7 @@ def run_fusion_training(
     progress: bool = True,
     profile_dir: Optional[str] = None,
     resume: bool = False,
-    num_devices: int | str = 1,
+    num_devices: int | str | None = None,
     tp_size: int = 1,
     num_workers: int = 8,
 ) -> Dict[str, object]:
@@ -293,8 +317,17 @@ def run_fusion_training(
     # larger batch than the train step's fits in HBM and cuts the
     # per-epoch coupling-prep wall time without changing the coupling:
     # the loader order is the dataset order at any batch size, and
-    # group_and_pad sees the identical feature rows.
-    feat_batch = feature_batch_size or 4 * batch_size
+    # group_and_pad sees the identical feature rows. Memory: the pass
+    # runs the backbone in eval mode with NO stored backward
+    # activations, so its peak HBM at 4x the train batch stays well
+    # below the train step's fwd+bwd peak (the OOM edge the init probe
+    # below worries about is eager model.init, a different code path).
+    # Pass --feature-batch-size to pin it (e.g. to --batch-size).
+    if feature_batch_size is not None and feature_batch_size < 1:
+        raise ValueError(
+            f"--feature-batch-size must be >= 1, got {feature_batch_size}")
+    feat_batch = (feature_batch_size if feature_batch_size is not None
+                  else 4 * batch_size)
     feat_loader = MultimodalLoader(
         train_samples, target_shape, feat_batch, shuffle=False, cache=cache,
         host_shard=host_shard,
@@ -331,6 +364,7 @@ def run_fusion_training(
                 "s2d_stem": s2d_stem, "raw_plan": raw_plan,
                 "dtype": np.dtype(dtype).name,
                 "class_names": class_names,
+                "class_names_b": class_names_b,
             }, f, indent=2)
     mri0, pet0, _ = next(iter(feat_loader))
     # Init/shape-probe at batch 1: feat_loader batches are feature-pass
@@ -483,6 +517,32 @@ def run_fusion_training(
                 f"({_clock.elapsed():.1f}s)"
             )
 
+        # The jsonl row must log the coupling epoch N TRAINED WITH, not
+        # the end-of-epoch solve consumed by epoch N+1 — capture the log
+        # before compute_tv() overwrites it.
+        epoch_coupling_log = svc.last_log if svc else None
+
+        def _epoch_record():
+            return {
+                "epoch": epoch, "train_loss": train_loss,
+                "train_acc": train_acc, "val_loss": val_loss,
+                "val_acc": val_acc, **metrics,
+                "epoch_seconds": round(_clock.elapsed(), 3),
+                # wall-clock split of the full epoch: train / eval /
+                # checkpoint (best+latest saves) / coupling (feature
+                # pass + EGW/FOT solve) — the observability needed to
+                # see which phase an epoch actually spends its time in.
+                "phase_seconds": dict(_clock.phases),
+                "coupling_log": epoch_coupling_log,
+                "lr": scheduler.lr,
+            }
+
+        # Append now so a crash/preemption during the checkpoint save or
+        # the minutes-long end-of-epoch coupling solve cannot lose this
+        # completed epoch's row; rewritten with the trailing phases (and
+        # the post-plateau-scheduler lr) once they finish.
+        _append_jsonl(jsonl_path, _epoch_record())
+
         if val_loss < best_val_loss:
             best_val_loss = val_loss
             best_summary = {"epoch": epoch, "val_loss": val_loss,
@@ -504,26 +564,10 @@ def run_fusion_training(
         )
         _clock("checkpoint")
 
-        # The jsonl row must log the coupling epoch N TRAINED WITH, not
-        # the end-of-epoch solve consumed by epoch N+1 — capture the log
-        # before compute_tv() overwrites it.
-        epoch_coupling_log = svc.last_log if svc else None
         if needs_tv and epoch < epochs:
             tv = compute_tv()
             _clock("coupling")
-        _append_jsonl(jsonl_path, {
-            "epoch": epoch, "train_loss": train_loss,
-            "train_acc": train_acc, "val_loss": val_loss,
-            "val_acc": val_acc, **metrics,
-            "epoch_seconds": round(_clock.elapsed(), 3),
-            # wall-clock split of the full epoch: train / eval /
-            # checkpoint (best+latest saves) / coupling (feature pass +
-            # EGW/FOT solve) — the observability needed to see which
-            # phase an epoch actually spends its time in.
-            "phase_seconds": _clock.phases,
-            "coupling_log": epoch_coupling_log,
-            "lr": scheduler.lr,
-        })
+        _rewrite_last_jsonl(jsonl_path, _epoch_record())
 
     writer.summary(best_val_loss, best_summary, model_dir)
 
@@ -585,7 +629,7 @@ def run_unimodal_training(
     progress: bool = True,
     profile_dir: Optional[str] = None,
     resume: bool = False,
-    num_devices: int | str = 1,
+    num_devices: int | str | None = None,
     tp_size: int = 1,
     num_workers: int = 8,
 ) -> Dict[str, object]:
@@ -702,6 +746,18 @@ def run_unimodal_training(
                 f"val_acc={val_acc:.4f} | f1={metrics['f1']:.4f} "
                 f"({_clock.elapsed():.1f}s)"
             )
+        def _epoch_record():
+            return {
+                "epoch": epoch, "train_loss": train_loss,
+                "train_acc": train_acc, "val_loss": val_loss,
+                "val_acc": val_acc, **metrics,
+                "epoch_seconds": round(_clock.elapsed(), 3),
+                "phase_seconds": dict(_clock.phases),
+            }
+
+        # durable-then-complete, as in the fusion loop: the row exists
+        # before the checkpoint saves, then gains the checkpoint timing
+        _append_jsonl(jsonl_path, _epoch_record())
         if val_loss < best_val_loss:
             best_val_loss = val_loss
             best_summary = {"epoch": epoch, "val_loss": val_loss,
@@ -716,13 +772,7 @@ def run_unimodal_training(
             include_opt_state=True,
         )
         _clock("checkpoint")
-        _append_jsonl(jsonl_path, {
-            "epoch": epoch, "train_loss": train_loss,
-            "train_acc": train_acc, "val_loss": val_loss,
-            "val_acc": val_acc, **metrics,
-            "epoch_seconds": round(_clock.elapsed(), 3),
-            "phase_seconds": _clock.phases,
-        })
+        _rewrite_last_jsonl(jsonl_path, _epoch_record())
 
     writer.summary(best_val_loss, best_summary, model_dir)
 

@@ -58,11 +58,17 @@ def make_fusion_train_step(
     microbatch at a time (a memory knob for large effective batches on
     limited HBM), gradients average across microbatches before ONE
     optimiser update, BatchNorm statistics update sequentially per
-    microbatch, and each microbatch draws its own dropout fold. A batch
-    whose size does not divide N (the loader's final partial batch)
-    traces the plain unaccumulated path — same convention as the DP
-    partial-batch fallback. With ``in_batch_fot`` the per-batch plan is
-    solved per MICROBATCH (the reference's in-batch coupling at the
+    microbatch, and each microbatch draws its own dropout fold.
+    Microbatch i takes the STRIDED rows ``i::N`` (via a
+    ``(n//N, N, ...)`` reshape indexed on axis 1): under a DP mesh the
+    batch axis is sharded contiguously across devices, so strided
+    microbatches each keep ``(n/N)/D`` rows on EVERY device — a
+    contiguous slice would pin each microbatch to a device subset,
+    forcing GSPMD reshards and defeating the per-device memory saving.
+    A batch whose size does not divide N (the loader's final partial
+    batch) traces the plain unaccumulated path — same convention as the
+    DP partial-batch fallback. With ``in_batch_fot`` the per-batch plan
+    is solved per MICROBATCH (the reference's in-batch coupling at the
     microbatch size).
     """
     use_ot_loss = model.variant in ("per_epoch_attn", "base")
@@ -111,13 +117,17 @@ def make_fusion_train_step(
             correct = jnp.sum(jnp.argmax(logits, -1) == labels)
         else:
             b = n // k
+            # rows i::k per microbatch — see docstring (DP-shard aligned)
+            strided = lambda x: x.reshape(b, k, *x.shape[1:])
+            mri_s, pet_s, lbl_s = strided(mri), strided(pet), strided(labels)
 
             def micro(carry, i):
                 acc, stats = carry
-                sl = lambda x: jax.lax.dynamic_slice_in_dim(x, i * b, b, 0)
-                lbl = sl(labels)
+                sl = lambda x: jax.lax.dynamic_index_in_dim(
+                    x, i, axis=1, keepdims=False)
+                lbl = sl(lbl_s)
                 g, (logits, ce, ot, new_stats) = grads_and_aux(
-                    state.params, stats, sl(mri), sl(pet), lbl,
+                    state.params, stats, sl(mri_s), sl(pet_s), lbl,
                     t_feature, jax.random.fold_in(rng, i),
                 )
                 acc = jax.tree_util.tree_map(jnp.add, acc, g)
@@ -231,13 +241,18 @@ def make_unimodal_train_step(model, donate: bool = True,
             correct = jnp.sum(jnp.argmax(logits, -1) == labels)
         else:
             b = n // k
+            # rows i::k per microbatch (DP-shard aligned, see
+            # make_fusion_train_step's docstring)
+            strided = lambda x: x.reshape(b, k, *x.shape[1:])
+            vol_s, lbl_s = strided(vol), strided(labels)
 
             def micro(carry, i):
                 acc, stats = carry
-                sl = lambda x: jax.lax.dynamic_slice_in_dim(x, i * b, b, 0)
-                lbl = sl(labels)
+                sl = lambda x: jax.lax.dynamic_index_in_dim(
+                    x, i, axis=1, keepdims=False)
+                lbl = sl(lbl_s)
                 g, (logits, ce, new_stats) = grads_and_aux(
-                    state.params, stats, sl(vol), lbl,
+                    state.params, stats, sl(vol_s), lbl,
                     jax.random.fold_in(rng, i),
                 )
                 acc = jax.tree_util.tree_map(jnp.add, acc, g)

@@ -1,11 +1,13 @@
 """Gradient accumulation (``grad_accum=N`` on the step factories).
 
 Contract (see make_fusion_train_step's docstring): N sequential
-microbatches inside one jitted step — gradients averaged into a single
-optimiser update, BatchNorm statistics updated sequentially, one dropout
-fold per microbatch, partial batches falling back to the plain path.
-The equivalence oracle below replays exactly that recipe by hand with
-the public model/loss pieces (a TPU-native capability; the reference
+microbatches inside one jitted step — microbatch i takes the strided
+rows ``i::N`` (so each microbatch stays evenly spread over a DP-sharded
+batch axis), gradients averaged into a single optimiser update,
+BatchNorm statistics updated sequentially, one dropout fold per
+microbatch, partial batches falling back to the plain path. The
+equivalence oracle below replays exactly that recipe by hand with the
+public model/loss pieces (a TPU-native capability; the reference
 trainers have no accumulation path).
 """
 
@@ -43,13 +45,12 @@ def _manual_accum(model, state, vol, labels, rng_key, k):
 
         return jax.grad(loss, has_aux=True)(params)
 
-    b = vol.shape[0] // k
     stats = state.batch_stats
     gsum = jax.tree_util.tree_map(jnp.zeros_like, state.params)
     for i in range(k):
         g, stats = grad_fn(
-            state.params, stats, vol[i * b:(i + 1) * b],
-            labels[i * b:(i + 1) * b], jax.random.fold_in(rng_key, i))
+            state.params, stats, vol[i::k], labels[i::k],
+            jax.random.fold_in(rng_key, i))
         gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
     grads = jax.tree_util.tree_map(lambda g: g / k, gsum)
     return state.apply_gradients(grads=grads).replace(batch_stats=stats)

@@ -37,17 +37,21 @@ def test_flagship_predict_matches_checkpoint_eval(tmp_path):
     run_dir = tmp_path / "run"
     run_fusion_training(
         samples=ds.samples, train_idx=train_idx, val_idx=val_idx,
-        class_names=CLASS_NAMES_MRI_BINARY, variant="per_epoch_attn",
+        class_names=CLASS_NAMES_MRI_BINARY,
+        class_names_b=CLASS_NAMES_PET_BINARY, variant="per_epoch_attn",
         model_depth=10, target_shape=(8, 8, 8), batch_size=4, lr=1e-3,
         epochs=1, seed=0, save_path=str(run_dir),
         max_jax_samples=4, gw_max_iterations=20,
         sinkhorn_max_iterations=50, progress=False,
     )
-    # serving artifacts landed
+    # serving artifacts landed; BOTH modality tables persist (a name
+    # heuristic cannot recover e.g. T1->T2 pairings)
     assert (run_dir / "model_config.json").exists()
     assert (run_dir / "t_feature.npy").exists()
     cfg = json.loads((run_dir / "model_config.json").read_text())
     assert cfg["kind"] == "fusion" and cfg["variant"] == "per_epoch_attn"
+    assert cfg["class_names_b"] == {
+        k: int(v) for k, v in CLASS_NAMES_PET_BINARY.items()}
 
     out = predict_main(["--run-dir", str(run_dir),
                         "--data-dir", str(tree), "--batch-size", "3"])
@@ -83,6 +87,51 @@ def test_flagship_predict_matches_checkpoint_eval(tmp_path):
     # probabilities are a softmax: rows sum to 1
     for r in rows:
         assert abs(float(r["prob_0"]) + float(r["prob_1"]) - 1.0) < 1e-4
+
+    # Legacy manifest (pre class_names_b): the MRI->PET name heuristic
+    # still serves ADNI-style layouts whose derived folders exist.
+    legacy = dict(cfg)
+    legacy.pop("class_names_b")
+    (run_dir / "model_config.json").write_text(json.dumps(legacy))
+    out2 = predict_main(["--run-dir", str(run_dir),
+                         "--data-dir", str(tree), "--batch-size", "3",
+                         "--output", str(run_dir / "legacy.csv")])
+    assert [int(r["pred"]) for r in csv.DictReader(open(out2))] == direct
+
+
+def test_predict_refuses_to_guess_second_modality(tmp_path):
+    """A legacy manifest whose derived PET folders don't exist must raise
+    (silently pairing table_a with itself would predict on the wrong
+    modality — the T1/T2 trap), and an empty dataset must be a clear
+    error, not a bare StopIteration."""
+    import pytest
+
+    from otfusion_tpu.cli.predict import main as predict_main
+
+    run_dir = tmp_path / "run"
+    run_dir.mkdir()
+    (run_dir / "model_config.json").write_text(json.dumps({
+        "kind": "fusion", "variant": "mmfusion", "model_depth": 10,
+        "target_shape": [8, 8, 8], "num_classes": 2,
+        "class_names": {"AD_T1_FIN": 0, "CN_T1_FIN": 1},
+    }))
+    data = tmp_path / "data"
+    (data / "AD_T1_FIN").mkdir(parents=True)
+    (data / "CN_T1_FIN").mkdir()
+    with pytest.raises(FileNotFoundError, match="class_names_b"):
+        predict_main(["--run-dir", str(run_dir), "--data-dir", str(data),
+                      "--device", "cpu"])
+
+    # with the table persisted, empty class folders -> the dataset's own
+    # clear error (never a bare StopIteration from an empty loader)
+    cfg = json.loads((run_dir / "model_config.json").read_text())
+    cfg["class_names_b"] = {"AD_T2_FIN": 0, "CN_T2_FIN": 1}
+    (run_dir / "model_config.json").write_text(json.dumps(cfg))
+    (data / "AD_T2_FIN").mkdir()
+    (data / "CN_T2_FIN").mkdir()
+    with pytest.raises(RuntimeError, match="No paired samples"):
+        predict_main(["--run-dir", str(run_dir), "--data-dir", str(data),
+                      "--device", "cpu"])
 
 
 def test_unimodal_predict(tmp_path):

@@ -174,12 +174,17 @@ def test_resolve_mesh_validates_process_group(monkeypatch):
     from otfusion_tpu.parallel import mesh as mesh_mod
 
     monkeypatch.setattr(mesh_mod.jax, "process_count", lambda: 2)
-    m = mesh_mod.resolve_mesh(1)  # trainer default
+    m = mesh_mod.resolve_mesh(None)  # trainer/CLI default -> auto
     assert m is not None and m.devices.size == jax.device_count()
     m = mesh_mod.resolve_mesh("auto")
     assert m is not None and m.devices.size == jax.device_count()
     with pytest.raises(ValueError, match="cover all"):
         mesh_mod.resolve_mesh(4)
+    # ...and an EXPLICIT 1 raises too instead of being silently widened
+    # to the whole group (the CLI default is the None sentinel, so a
+    # user-typed --num-devices 1 is always explicit)
+    with pytest.raises(ValueError, match="cover all"):
+        mesh_mod.resolve_mesh(1)
     # TP is single-host for now (_dp_wrap's tp branch leaves outputs
     # unpinned): reject at mesh resolution, not mid-training.
     with pytest.raises(ValueError, match="tp-size.*multihost"):
@@ -268,3 +273,28 @@ def test_flagship_trainer_s2d_stem_end_to_end(tmp_path):
         sinkhorn_max_iterations=50, progress=False, s2d_stem=True,
     )
     assert np.isfinite(result["best_val_loss"])
+
+
+def test_s2d_rejects_odd_hw():
+    """Odd H/W under --s2d-stem is a clear ValueError naming the flag,
+    not a raw reshape crash deep inside model.init."""
+    with pytest.raises(ValueError, match="even H and W"):
+        space_to_depth_hw(jnp.zeros((1, 8, 7, 8, 1)))
+
+
+def test_rewrite_last_jsonl(tmp_path):
+    """Epoch rows are appended right after eval (durable against a crash
+    in the checkpoint/coupling phases) then atomically completed."""
+    import json
+
+    from otfusion_tpu.train.loop import _append_jsonl, _rewrite_last_jsonl
+
+    p = str(tmp_path / "metrics.jsonl")
+    _append_jsonl(p, {"epoch": 1, "phase_seconds": {"train": 1.0}})
+    _append_jsonl(p, {"epoch": 2, "phase_seconds": {"train": 1.0}})
+    _rewrite_last_jsonl(
+        p, {"epoch": 2, "phase_seconds": {"train": 1.0, "checkpoint": 0.5}})
+    rows = [json.loads(l) for l in open(p)]
+    assert [r["epoch"] for r in rows] == [1, 2]
+    assert rows[0]["phase_seconds"] == {"train": 1.0}
+    assert rows[1]["phase_seconds"] == {"train": 1.0, "checkpoint": 0.5}
