@@ -47,16 +47,11 @@ def resolve_mesh(
     (ADVICE.md round-2 finding 3). The --num-devices default (None)
     therefore implies "auto" under multi-host, and any EXPLICIT N that
     does not cover the group — including 1 — raises rather than being
-    silently widened."""
+    silently widened. ``tp_size > 1`` composes with multi-host: the 2-D
+    mesh spans the group, consecutive (intra-process) devices fill the
+    ``model`` axis so TP collectives stay host-local while the ``data``
+    axis crosses hosts."""
     if jax.process_count() > 1:
-        if tp_size > 1:
-            # The TP step path leaves out_shardings unpinned (_dp_wrap's
-            # tp branch is single-host for now): under a process group
-            # the eval outputs would come back sharded across
-            # non-addressable devices and crash mid-training — reject at
-            # mesh-resolution time instead.
-            raise ValueError(
-                "--tp-size > 1 is not supported with --multihost yet")
         n_global = jax.device_count()
         if num_devices not in (None, 0, "auto") \
                 and int(num_devices) != n_global:
@@ -178,21 +173,65 @@ def place_replicated(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda a: jax.device_put(a, rep), tree)
 
 
+_RESHARD_CACHE: dict = {}
+
+
+def _reshard_global(a, sh):
+    """Collectively reshard a non-addressable global array to ``sh`` (a
+    jitted identity with pinned out_shardings — XLA inserts the gather/
+    scatter). COLLECTIVE: every process must reach this in the same
+    order, which holds for ``place_state`` (all processes tree_map an
+    identical state structure)."""
+    fn = _RESHARD_CACHE.get(sh)
+    if fn is None:
+        fn = jax.jit(lambda x: x, out_shardings=sh)
+        _RESHARD_CACHE[sh] = fn
+    return fn(a)
+
+
 def place_state(state, mesh: Mesh):
     """Place a train state for ``mesh``: replicated on a 1-D data mesh;
     on a 2-D (data, model) mesh, fusion-trunk Dense kernels column-shard
     over ``model`` (megatron-style, see ``_tp_rule_factory``) and
-    everything else replicates."""
+    everything else replicates. In a multi-process group device_put
+    cannot target non-addressable shardings, so TP leaves place through
+    ``place_global`` (make_array_from_callback) and replicated leaves
+    through ``replicate_global`` (which also handles typed PRNG keys)."""
     if not has_model_axis(mesh):
         return place_replicated(state, mesh)
     sharding_tree = jax.tree_util.tree_map_with_path(
         _tp_rule_factory(mesh), state
     )
+    if jax.process_count() > 1:
+        from otfusion_tpu.parallel.multihost import (
+            place_global,
+            replicate_global,
+        )
+
+        def _place(a, sh):
+            if isinstance(a, jax.Array) and not a.is_fully_addressable:
+                # Already a global array — e.g. a best-restore keeps the
+                # TRAINED opt_state, whose placement the TP step leaves
+                # to the partitioner (out_shardings None entry), so GSPMD
+                # may have drifted biases/Adam moments to model-sharded.
+                # The host-value helpers below cannot read such leaves
+                # (np.asarray on non-addressable shards raises); reshard
+                # collectively instead.
+                if a.sharding == sh or (a.sharding.is_fully_replicated
+                                        and sh.is_fully_replicated):
+                    return a
+                return _reshard_global(a, sh)
+            if sh.is_fully_replicated:
+                return replicate_global(a, mesh)
+            return place_global(a, sh)
+
+        return jax.tree_util.tree_map(_place, state, sharding_tree)
     return jax.device_put(state, sharding_tree)
 
 
 def _dp_wrap(raw, mesh: Mesh, batch_ndims: Sequence[int], n_rest: int,
-             donate: bool = False, tp: bool = False):
+             donate: bool = False, tp: bool = False,
+             out_state: bool = False, state_shardings=None):
     """jit ``raw(state, *batch_arrays, *rest)`` for data parallelism.
 
     Batch arrays shard on dim 0, state and the ``n_rest`` trailing args
@@ -217,14 +256,27 @@ def _dp_wrap(raw, mesh: Mesh, batch_ndims: Sequence[int], n_rest: int,
     state_sharding = None if tp else rep
     donate_args = (0,) if donate else ()
     # Multi-process: host code np.asarray()s step outputs (metrics,
-    # preds, features), which requires fully-addressable arrays — pin
-    # every output replicated. XLA's allgather of a (B,)-sized preds
-    # vector is noise; the TP state keeps its committed sharding (out
-    # shardings stay unspecified on the tp path, which is single-host
-    # for now).
-    out_shardings = (
-        rep if (jax.process_count() > 1 and not tp) else None
-    )
+    # preds, features), which requires fully-replicated arrays — pin
+    # every non-state output replicated. XLA's allgather of a (B,)-sized
+    # preds vector is noise. On the tp path the returned STATE must keep
+    # its column-sharded placement, and under a PROCESS GROUP that
+    # placement must be PINNED to the deterministic ``state_shardings``
+    # tree (the ``place_state`` layout): each process compiles its
+    # executable independently, so unpinned (None) output shardings let
+    # the per-process partitioners make DIFFERENT layout choices for
+    # biases/Adam moments — divergent runtime shardings that later
+    # deadlock any sharding-dependent collective (observed live: a
+    # 2-process flagship run resharded 59 leaves on one process and 64
+    # on the other inside the best-restore's place_state, deadlocking
+    # the group).
+    if jax.process_count() > 1:
+        if tp and state_shardings is not None:
+            state_sharding = state_shardings
+            out_shardings = ((state_shardings, rep) if out_state else rep)
+        else:
+            out_shardings = ((None, rep) if (tp and out_state) else rep)
+    else:
+        out_shardings = None
     main = jax.jit(
         raw,
         in_shardings=(state_sharding,
@@ -277,14 +329,30 @@ def _dp_wrap(raw, mesh: Mesh, batch_ndims: Sequence[int], n_rest: int,
     return step
 
 
-def make_dp_fusion_steps(model, mesh: Mesh, **train_kwargs):
+def _tp_state_shardings(mesh: Mesh, state_template):
+    """The deterministic TP sharding tree for ``state_template`` — the
+    exact layout ``place_state`` commits. Pinning a multi-process step's
+    state in/out shardings to this tree keeps every process's
+    independently-compiled executable on the SAME layout (unpinned
+    outputs let per-process partitioners diverge, see ``_dp_wrap``)."""
+    if state_template is None or not has_model_axis(mesh) \
+            or jax.process_count() <= 1:
+        return None
+    return jax.tree_util.tree_map_with_path(
+        _tp_rule_factory(mesh), state_template)
+
+
+def make_dp_fusion_steps(model, mesh: Mesh, state_template=None,
+                         **train_kwargs):
     """The fusion trainer's full step family, parallel over ``mesh``:
     (train_step, eval_step, feature_extract_step), all drop-in compatible
     with the single-device factories in train/steps.py. The caller places
     the state once with ``place_state``. On a 1-D mesh this is pure DP;
     on a 2-D (data, model) mesh the committed TP placement of the state
     (fusion-trunk Dense kernels column-sharded over ``model``) propagates
-    through every step while batches shard over ``data``."""
+    through every step while batches shard over ``data``. Under a
+    multi-process group pass the placed state as ``state_template`` so
+    the TP layout is PINNED through every executable."""
     from otfusion_tpu.train.steps import (
         make_feature_extract_step,
         make_fusion_eval_step,
@@ -292,32 +360,42 @@ def make_dp_fusion_steps(model, mesh: Mesh, **train_kwargs):
     )
 
     tp = has_model_axis(mesh)
+    state_sh = _tp_state_shardings(mesh, state_template)
     train_raw = make_fusion_train_step(model, jit=False, **train_kwargs)
     eval_raw = make_fusion_eval_step(model, jit=False)
     feat_raw = make_feature_extract_step(model, jit=False)
     # (state, mri, pet, labels, tv, rng) / (…, tv) / (state, mri, pet)
     return (
-        _dp_wrap(train_raw, mesh, (5, 5, 1), 2, donate=True, tp=tp),
-        _dp_wrap(eval_raw, mesh, (5, 5, 1), 1, tp=tp),
-        _dp_wrap(feat_raw, mesh, (5, 5), 0, tp=tp),
+        _dp_wrap(train_raw, mesh, (5, 5, 1), 2, donate=True, tp=tp,
+                 out_state=True, state_shardings=state_sh),
+        _dp_wrap(eval_raw, mesh, (5, 5, 1), 1, tp=tp,
+                 state_shardings=state_sh),
+        _dp_wrap(feat_raw, mesh, (5, 5), 0, tp=tp,
+                 state_shardings=state_sh),
     )
 
 
-def make_dp_unimodal_steps(model, mesh: Mesh, **train_kwargs):
+def make_dp_unimodal_steps(model, mesh: Mesh, state_template=None,
+                           **train_kwargs):
     """(train_step, eval_step) for the unimodal trainer over ``mesh``
-    (DP on a 1-D mesh; DP + Dense-kernel TP on a 2-D mesh)."""
+    (DP on a 1-D mesh; DP + Dense-kernel TP on a 2-D mesh). Pass the
+    placed state as ``state_template`` under multi-process groups (see
+    ``make_dp_fusion_steps``)."""
     from otfusion_tpu.train.steps import (
         make_unimodal_eval_step,
         make_unimodal_train_step,
     )
 
     tp = has_model_axis(mesh)
+    state_sh = _tp_state_shardings(mesh, state_template)
     train_raw = make_unimodal_train_step(model, jit=False, **train_kwargs)
     eval_raw = make_unimodal_eval_step(model, jit=False)
     # (state, vol, labels, rng) / (state, vol, labels)
     return (
-        _dp_wrap(train_raw, mesh, (5, 1), 1, donate=True, tp=tp),
-        _dp_wrap(eval_raw, mesh, (5, 1), 0, tp=tp),
+        _dp_wrap(train_raw, mesh, (5, 1), 1, donate=True, tp=tp,
+                 out_state=True, state_shardings=state_sh),
+        _dp_wrap(eval_raw, mesh, (5, 1), 0, tp=tp,
+                 state_shardings=state_sh),
     )
 
 

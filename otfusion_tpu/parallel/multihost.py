@@ -164,6 +164,20 @@ def replicate_global(value, mesh):
     return jax.make_array_from_process_local_data(rep, host, host.shape)
 
 
+def place_global(value, sharding):
+    """Place an SPMD-consistent host value into an ARBITRARY
+    NamedSharding across processes.
+
+    device_put rejects non-addressable shardings; every process holds
+    the identical full host array (e.g. a freshly-initialised TP kernel)
+    and ``jax.make_array_from_callback`` asks each process only for its
+    addressable shards — the standard multi-host placement recipe for
+    sharded (not just replicated) layouts."""
+    host = np.asarray(value)
+    return jax.make_array_from_callback(host.shape, sharding,
+                                        lambda idx: host[idx])
+
+
 def is_primary() -> bool:
     """True on the process that owns filesystem artifacts (results.txt,
     checkpoints, metrics) — process 0."""
@@ -178,5 +192,6 @@ __all__ = [
     "initialize_multihost",
     "is_primary",
     "make_global_array",
+    "place_global",
     "replicate_global",
 ]

@@ -82,14 +82,37 @@ def flush_checkpoints() -> None:
         raise err
 
 
+_GATHER_CACHE: dict = {}
+
+
+def _gather_replicated(a):
+    """Allgather a sharded GLOBAL array to the replicated layout (a jitted
+    identity with replicated out_shardings). COLLECTIVE: every process
+    must reach this call in the same order — true for the checkpoint
+    paths, which tree_map identical state structures on all processes."""
+    fn = _GATHER_CACHE.get(a.sharding)
+    if fn is None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        rep = NamedSharding(a.sharding.mesh, PartitionSpec())
+        fn = jax.jit(lambda x: x, out_shardings=rep)
+        _GATHER_CACHE[a.sharding] = fn
+    return fn(a)
+
+
 def _to_host(tree, copy: bool = False):
     def pull(a):
         # Multi-host: a replicated global array is not fully addressable
         # from one process — np.asarray would either raise or issue
         # cross-process fetches that desynchronise the primary-only save
         # path. The local shard of a replicated array IS the global
-        # value; read that.
+        # value; read that. A TP-SHARDED global leaf (kernels
+        # column-sharded over the model axis) must be allgathered first:
+        # its local shard is a slice, and saving slices would corrupt
+        # the checkpoint.
         if isinstance(a, jax.Array) and not a.is_fully_addressable:
+            if not a.sharding.is_fully_replicated:
+                a = _gather_replicated(a)
             a = a.addressable_data(0)
         # copy=True: the save path's write-behind snapshot must not alias
         # caller memory — np.asarray is a no-copy identity on ndarray
@@ -287,7 +310,7 @@ def restore_backbone(
     _wait_dir(directory)
     ckptr = ocp.StandardCheckpointer()
     restored = ckptr.restore(directory)  # raw pytree, no target
-    src_params = _maybe_rewrite_stem(
+    src_params = rewrite_stem_params(
         restored["params"][source_module], state.params[target_module])
     new_params = dict(state.params)
     new_params[target_module] = src_params
@@ -296,13 +319,16 @@ def restore_backbone(
     return state.replace(params=new_params, batch_stats=new_stats)
 
 
-def _maybe_rewrite_stem(src_backbone: Dict[str, Any],
+def rewrite_stem_params(src_backbone: Dict[str, Any],
                         dst_backbone) -> Dict[str, Any]:
     """Absorb a plain-stem -> space-to-depth-stem layout change when
     grafting pretrained backbone weights: a (kd,7,7,C,O) source stem
     kernel is rewritten losslessly onto a (kd,4,4,4C,O) target
     (models/resnet3d.py:s2d_stem_kernel), so ``--s2d-stem`` keeps full
-    pretrained-checkpoint parity. All other shapes must match as before."""
+    pretrained-checkpoint parity. All other shapes must match as before.
+    Also the serving-side rewrite: ``cli/predict.py --stem auto`` grafts
+    a plain-stem checkpoint onto the faster s2d layout at load time
+    (inference has no optimiser moments, so the rewrite is free)."""
     try:
         src_k = np.asarray(src_backbone["_ConvBN_0"]["Conv_0"]["kernel"])
         dst_k = dst_backbone["_ConvBN_0"]["Conv_0"]["kernel"]

@@ -100,9 +100,45 @@ assert tv_c.sharding.is_fully_replicated, tv_c.sharding
 coupling_sum = float(np.asarray(tv_c).sum())
 assert np.isfinite(np.asarray(tv_c)).all()
 
+# DP x TP across the process group (round 3): 4x2 mesh over the 8
+# global devices — model axis intra-process, data axis across hosts.
+# The committed TP placement must place through make_array_from_callback
+# (device_put rejects non-addressable shardings), the train step's
+# returned state must KEEP the column-sharded kernels, metrics come back
+# replicated, and a checkpoint save must allgather TP shards (not write
+# one process's slice).
+from otfusion_tpu.parallel import resolve_mesh
+from otfusion_tpu.utils.checkpoint import _to_host
+
+mesh_tp = resolve_mesh("auto", tp_size=2)
+assert mesh_tp.shape == {"data": 4, "model": 2}, mesh_tp.shape
+state_tp = create_train_state(
+    model, jax.random.key(0), (jnp.asarray(mri[:1]), jnp.asarray(pet[:1])),
+    1e-3, t_feature=tv)
+host_kernel = np.asarray(
+    state_tp.params["mri2pet"]["Dense_0"]["kernel"])
+state_tp = place_state(state_tp, mesh_tp)
+placed = state_tp.params["mri2pet"]["Dense_0"]["kernel"]
+assert not placed.sharding.is_fully_replicated, placed.sharding
+tp_train, tp_eval, _ = make_dp_fusion_steps(model, mesh_tp,
+                                            state_template=state_tp)
+state_tp, met_tp = tp_train(state_tp, mri[rows], pet[rows], labels[rows],
+                            tv, jax.random.key(1))
+loss_tp = float(met_tp["loss"])
+new_kernel = state_tp.params["mri2pet"]["Dense_0"]["kernel"]
+assert not new_kernel.sharding.is_fully_replicated, new_kernel.sharding
+ev = tp_eval(state_tp, mri[rows], pet[rows], labels[rows], tv)
+eval_loss_tp = float(ev["loss"])
+# checkpoint pull allgathers the TP shards to the full kernel
+pulled = _to_host({"k": new_kernel})["k"]
+assert pulled.shape == host_kernel.shape, (pulled.shape, host_kernel.shape)
+tp_kernel_finite = bool(np.isfinite(pulled).all())
+
 result = {"proc": proc_id, "primary": is_primary(),
           "loss_even": loss_even, "loss_uneven": loss_uneven,
-          "coupling_sum": coupling_sum}
+          "coupling_sum": coupling_sum,
+          "loss_tp": loss_tp, "eval_loss_tp": eval_loss_tp,
+          "tp_kernel_finite": tp_kernel_finite}
 with open(out_path, "w") as f:
     json.dump(result, f)
 from jax.experimental import multihost_utils
@@ -204,6 +240,16 @@ def test_two_process_group_matches_single_process(tmp_path):
         results[1]["coupling_sum"], rel=1e-6)
     assert np.isfinite(results[0]["coupling_sum"])
     assert results[0]["primary"] and not results[1]["primary"]
+    # DP x TP across the group: SPMD-consistent, and — same batch, same
+    # rng, same init — the TP loss matches the pure-DP loss (GSPMD is
+    # semantics-preserving; tolerance covers psum reduction order)
+    assert results[0]["loss_tp"] == pytest.approx(
+        results[1]["loss_tp"], rel=1e-6)
+    assert results[0]["eval_loss_tp"] == pytest.approx(
+        results[1]["eval_loss_tp"], rel=1e-6)
+    assert results[0]["loss_tp"] == pytest.approx(
+        results[0]["loss_even"], rel=5e-3)
+    assert results[0]["tp_kernel_finite"] and results[1]["tp_kernel_finite"]
 
     ref_even, ref_uneven = _single_process_reference()
     assert results[0]["loss_even"] == pytest.approx(ref_even, rel=2e-4)
@@ -231,6 +277,7 @@ proc_id = int(sys.argv[1])
 out_path = sys.argv[2]
 shared = sys.argv[3]
 variant = sys.argv[4]
+tp_size = int(sys.argv[5])
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
@@ -275,7 +322,7 @@ result = run_fusion_training(
     target_shape=(8, 8, 8), batch_size=8, lr=1e-3, epochs=2, seed=0,
     save_path=os.path.join(shared, "run"), max_jax_samples=4,
     gw_max_iterations=20, sinkhorn_max_iterations=50,
-    progress=False, num_devices="auto",
+    progress=False, num_devices="auto", tp_size=tp_size,
 )
 hist = [
     {"train_loss": float(e.train_loss), "val_loss": float(e.val_loss),
@@ -295,8 +342,9 @@ print("TRAINER-WORKER-OK")
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("variant", ["base", "per_epoch_attn"])
-def test_two_process_real_trainer(tmp_path, variant):
+@pytest.mark.parametrize("variant,tp_size", [
+    ("base", 1), ("per_epoch_attn", 1), ("per_epoch_attn", 2)])
+def test_two_process_real_trainer(tmp_path, variant, tp_size):
     """The REAL fusion trainer across a 2-process group: host-sharded
     loaders, global metric weighting, primary-only artifacts, barrier
     before the best-checkpoint restore. Both processes must agree with
@@ -306,7 +354,11 @@ def test_two_process_real_trainer(tmp_path, variant):
     across the group (global replicated features + allgathered labels +
     the feature-sharded EGW/FOT pipeline fed via
     make_array_from_callback) — the round-2 judge's crash repro
-    (VERDICT.md weak #1)."""
+    (VERDICT.md weak #1). tp_size=2 runs the full flagship trainer on a
+    (data 4, model 2) mesh spanning the group: TP state placement via
+    make_array_from_callback, column-sharded kernels preserved through
+    the steps, collective checkpoint saves allgathering the TP shards
+    (round 3)."""
     shared = tmp_path / "shared"
     shared.mkdir()
     for attempt in range(3):
@@ -324,7 +376,7 @@ def test_two_process_real_trainer(tmp_path, variant):
         procs = [
             subprocess.Popen(
                 [sys.executable, str(script), str(p), str(outs[p]),
-                 str(shared), variant],
+                 str(shared), variant, str(tp_size)],
                 env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                 text=True, cwd=REPO,
             )
@@ -371,8 +423,13 @@ def test_two_process_real_trainer(tmp_path, variant):
         max_jax_samples=4, gw_max_iterations=20,
         sinkhorn_max_iterations=50, progress=False, num_devices=8,
     )
+    # TP runs on the adaptive solver path: psum reduction-order shifts
+    # can flip OT early-exit iteration counts, so the bound matches
+    # test_parallel_tp's trainer-level 5e-2 (DP keeps 5e-3; the pinned
+    # tight-bound split is documented in tests/test_parallel_trainer.py)
+    rel = 5e-2 if tp_size > 1 else 5e-3
     for got, want in zip(results[0]["history"], ref["history"]):
         assert got["train_loss"] == pytest.approx(
-            float(want.train_loss), rel=5e-3)
+            float(want.train_loss), rel=rel)
         assert got["val_loss"] == pytest.approx(
-            float(want.val_loss), rel=5e-3)
+            float(want.val_loss), rel=rel)

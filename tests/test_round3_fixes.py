@@ -185,10 +185,11 @@ def test_resolve_mesh_validates_process_group(monkeypatch):
     # user-typed --num-devices 1 is always explicit)
     with pytest.raises(ValueError, match="cover all"):
         mesh_mod.resolve_mesh(1)
-    # TP is single-host for now (_dp_wrap's tp branch leaves outputs
-    # unpinned): reject at mesh resolution, not mid-training.
-    with pytest.raises(ValueError, match="tp-size.*multihost"):
-        mesh_mod.resolve_mesh("auto", tp_size=2)
+    # TP composes with multi-host (round 3): a 2-D mesh spanning the
+    # whole group, model axis on consecutive (intra-process) devices.
+    m = mesh_mod.resolve_mesh("auto", tp_size=2)
+    assert m is not None and m.devices.size == jax.device_count()
+    assert m.shape["model"] == 2
 
 
 def test_aggregator_xlsx_twin(tmp_path):
