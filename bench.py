@@ -293,13 +293,22 @@ def main():
             print(f"# base-step bench failed: {e}", file=sys.stderr)
             extra["base_step_error"] = str(e)[:200]
         # Forward-only serving step (cli/predict.py's per-batch cost).
+        # predict serves plain-stem checkpoints through the losslessly
+        # rewritten s2d stem by default (--stem auto) — report that
+        # number as primary, the as-trained plain stem beside it.
         try:
-            step_s, sps = bench_infer_step()
+            step_s, sps = bench_infer_step(s2d_stem=True)
             extra["infer_step_ms"] = round(step_s * 1000, 1)
             extra["infer_samples_per_s"] = round(sps, 2)
         except Exception as e:
             print(f"# infer-step bench failed: {e}", file=sys.stderr)
             extra["infer_step_error"] = str(e)[:200]
+        try:
+            step_s, sps = bench_infer_step()
+            extra["infer_step_plain_ms"] = round(step_s * 1000, 1)
+        except Exception as e:
+            print(f"# plain infer-step bench failed: {e}", file=sys.stderr)
+            extra["infer_step_plain_error"] = str(e)[:200]
 
     print(json.dumps({
         "metric": "per_epoch_ot_coupling_speedup_vs_cpu_numpy",

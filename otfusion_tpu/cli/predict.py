@@ -59,6 +59,15 @@ def main(argv=None):
     parser.add_argument("--max-samples-per-class", type=int, default=None)
     parser.add_argument("--device", default=None,
                         help="jax platform override (e.g. cpu)")
+    parser.add_argument("--stem", choices=("auto", "as-trained"),
+                        default="auto",
+                        help="'auto' serves plain-stem ResNet3D "
+                        "checkpoints through the faster space-to-depth "
+                        "stem (exact weight-space rewrite at load, "
+                        "models/resnet3d.py:s2d_stem_kernel — inference "
+                        "has no optimiser moments, so the rewrite is "
+                        "free); 'as-trained' keeps the checkpoint's "
+                        "layout")
     args = parser.parse_args(argv)
 
     from otfusion_tpu.cli.common import apply_device_flag
@@ -125,17 +134,32 @@ def main(argv=None):
         print(f"Found {len(dataset)} paired samples")
         loader = MultimodalLoader(dataset.samples, target_shape,
                                   args.batch_size, shuffle=False)
-        model = MultimodalOTFusion(
-            num_classes=num_classes,
-            depth=int(cfg["model_depth"]),
-            projection_dropout=float(cfg.get("projection_dropout", 0.0)),
-            variant=cfg["variant"],
-            mri_backbone=cfg.get("mri_backbone", ""),
-            pet_backbone=cfg.get("pet_backbone", ""),
-            s2d_stem=bool(cfg.get("s2d_stem", False)),
-            raw_plan=bool(cfg.get("raw_plan", False)),
-            dtype=dtype,
-        )
+        # --stem auto: the default ResNet3D backbones' plain stem is
+        # exactly rewritable to the faster space-to-depth layout; serve
+        # through it (registry backbones ignore s2d_stem — no rewrite).
+        cfg_s2d = bool(cfg.get("s2d_stem", False))
+        s2d_rewrite = (args.stem == "auto" and not cfg_s2d
+                       and not cfg.get("mri_backbone")
+                       and not cfg.get("pet_backbone")
+                       # the 2x2 space-to-depth needs even H/W
+                       and target_shape[1] % 2 == 0
+                       and target_shape[2] % 2 == 0)
+
+        def _build(s2d):
+            return MultimodalOTFusion(
+                num_classes=num_classes,
+                depth=int(cfg["model_depth"]),
+                projection_dropout=float(
+                    cfg.get("projection_dropout", 0.0)),
+                variant=cfg["variant"],
+                mri_backbone=cfg.get("mri_backbone", ""),
+                pet_backbone=cfg.get("pet_backbone", ""),
+                s2d_stem=s2d,
+                raw_plan=bool(cfg.get("raw_plan", False)),
+                dtype=dtype,
+            )
+
+        model = _build(cfg_s2d)
         tv = None
         if cfg["variant"] == "per_epoch_attn":
             tv_path = os.path.join(args.run_dir, "t_feature.npy")
@@ -153,6 +177,25 @@ def main(argv=None):
             1e-3, t_feature=tv,
         )
         state = restore_checkpoint(ckpt_dir, state)
+        if s2d_rewrite:
+            from otfusion_tpu.utils.checkpoint import rewrite_stem_params
+
+            model = _build(True)
+            s2d_state = create_train_state(
+                model, jax.random.key(0),
+                (jnp.asarray(mri0[:1]), jnp.asarray(pet0[:1])),
+                1e-3, t_feature=tv,
+            )
+            params = dict(state.params)
+            for mod_name in ("mri_backbone", "pet_backbone"):
+                params[mod_name] = rewrite_stem_params(
+                    state.params[mod_name], s2d_state.params[mod_name])
+            # BN stats live on output channels — unchanged by the stem
+            # kernel layout, graft verbatim.
+            state = s2d_state.replace(params=params,
+                                      batch_stats=state.batch_stats)
+            print("Serving with the space-to-depth stem "
+                  "(lossless rewrite; --stem as-trained disables)")
         eval_step = make_fusion_eval_step(model)
 
         def run_batch(batch):
@@ -175,14 +218,34 @@ def main(argv=None):
         print(f"Found {len(dataset)} samples")
         loader = Loader(dataset.samples, target_shape, args.batch_size,
                         shuffle=False)
+        cfg_s2d = bool(cfg.get("s2d_stem", False))
+        s2d_rewrite = (args.stem == "auto" and not cfg_s2d
+                       and target_shape[1] % 2 == 0
+                       and target_shape[2] % 2 == 0)
         model = ResNet3DClassifier(
             depth=int(cfg["model_depth"]), num_classes=num_classes,
-            s2d_stem=bool(cfg.get("s2d_stem", False)), dtype=dtype,
+            s2d_stem=cfg_s2d, dtype=dtype,
         )
         vol0, _ = next(iter(loader))
         state = create_train_state(model, jax.random.key(0),
                                    (jnp.asarray(vol0[:1]),), 1e-3)
         state = restore_checkpoint(ckpt_dir, state)
+        if s2d_rewrite:
+            from otfusion_tpu.utils.checkpoint import rewrite_stem_params
+
+            model = ResNet3DClassifier(
+                depth=int(cfg["model_depth"]), num_classes=num_classes,
+                s2d_stem=True, dtype=dtype,
+            )
+            s2d_state = create_train_state(model, jax.random.key(0),
+                                           (jnp.asarray(vol0[:1]),), 1e-3)
+            params = dict(state.params)
+            params["backbone"] = rewrite_stem_params(
+                state.params["backbone"], s2d_state.params["backbone"])
+            state = s2d_state.replace(params=params,
+                                      batch_stats=state.batch_stats)
+            print("Serving with the space-to-depth stem "
+                  "(lossless rewrite; --stem as-trained disables)")
         eval_step = make_unimodal_eval_step(model)
 
         def run_batch(batch):

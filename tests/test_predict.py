@@ -53,8 +53,12 @@ def test_flagship_predict_matches_checkpoint_eval(tmp_path):
     assert cfg["class_names_b"] == {
         k: int(v) for k, v in CLASS_NAMES_PET_BINARY.items()}
 
+    # --stem as-trained: the exact-match contract below compares against
+    # a direct plain-stem eval (the default --stem auto serves through
+    # the losslessly-rewritten s2d stem, tested separately).
     out = predict_main(["--run-dir", str(run_dir),
-                        "--data-dir", str(tree), "--batch-size", "3"])
+                        "--data-dir", str(tree), "--batch-size", "3",
+                        "--stem", "as-trained"])
     rows = list(csv.DictReader(open(out)))
     assert len(rows) == n
     assert set(r["pred"] for r in rows) <= {"0", "1"}
@@ -88,6 +92,19 @@ def test_flagship_predict_matches_checkpoint_eval(tmp_path):
     for r in rows:
         assert abs(float(r["prob_0"]) + float(r["prob_1"]) - 1.0) < 1e-4
 
+    # Default --stem auto: the plain-stem checkpoint serves through the
+    # space-to-depth layout — a lossless weight rewrite, so the softmax
+    # probabilities match the as-trained serve to float tolerance.
+    out_s2d = predict_main(["--run-dir", str(run_dir),
+                            "--data-dir", str(tree), "--batch-size", "3",
+                            "--output", str(run_dir / "s2d.csv")])
+    rows_s2d = list(csv.DictReader(open(out_s2d)))
+    p_plain = np.asarray([[float(r["prob_0"]), float(r["prob_1"])]
+                          for r in rows])
+    p_s2d = np.asarray([[float(r["prob_0"]), float(r["prob_1"])]
+                        for r in rows_s2d])
+    np.testing.assert_allclose(p_s2d, p_plain, atol=1e-4)
+
     # Legacy manifest (pre class_names_b): the MRI->PET name heuristic
     # still serves ADNI-style layouts whose derived folders exist.
     legacy = dict(cfg)
@@ -95,6 +112,7 @@ def test_flagship_predict_matches_checkpoint_eval(tmp_path):
     (run_dir / "model_config.json").write_text(json.dumps(legacy))
     out2 = predict_main(["--run-dir", str(run_dir),
                          "--data-dir", str(tree), "--batch-size", "3",
+                         "--stem", "as-trained",
                          "--output", str(run_dir / "legacy.csv")])
     assert [int(r["pred"]) for r in csv.DictReader(open(out2))] == direct
 
