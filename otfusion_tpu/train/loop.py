@@ -412,7 +412,7 @@ def run_fusion_training(
         from otfusion_tpu.parallel import make_dp_fusion_steps
 
         train_step, eval_step, feat_step = make_dp_fusion_steps(
-            model, mesh,
+            model, mesh, state_template=state,
             in_batch_fot=(variant == "base"),
             fot_epsilon=1e-3,
             fot_max_iterations=fot_max_iterations,
@@ -693,7 +693,7 @@ def run_unimodal_training(
         from otfusion_tpu.parallel import make_dp_unimodal_steps
 
         train_step, eval_step = make_dp_unimodal_steps(
-            model, mesh, grad_accum=grad_accum)
+            model, mesh, state_template=state, grad_accum=grad_accum)
     else:
         train_step = make_unimodal_train_step(model, donate=True,
                                               grad_accum=grad_accum)
