@@ -47,6 +47,7 @@ def make_synthetic_adni(
     noise: float = 0.05,
     signal_dropout: float = 0.0,
     signal_jitter: float = 0.0,
+    shared_severity: float = 0.0,
 ) -> Path:
     """Build the fixture tree; returns the root path.
 
@@ -73,6 +74,22 @@ def make_synthetic_adni(
         measurements (sqrt(2) SNR gain), so fusion strictly dominates
         either modality in expectation. Mirrors real multi-modal cohorts
         where each scan is a noisy view of the same pathology.
+      * ``shared_severity`` (v3, see hard_cohort_summary.md) makes the
+        CROSS-MODAL SHARED structure class-relevant: each patient draws
+        a latent disease severity s = class +
+        shared_severity*N(0,1), shared across the patient's scans;
+        each scan observes s through its own independent measurement
+        noise (``signal_jitter``) and renders it through
+        MODALITY-SPECIFIC geometry — MRI encodes its severity view as
+        blob radius/intensity (as before), PET encodes its view as blob
+        POSITION along the depth axis with class-neutral amplitude. The
+        two views share the pathology latent but express it in
+        different geometric codes, the regime the reference's OT
+        manifold alignment targets (two views of the same brain) and
+        the regime the v2 generator provably lacked (its shared
+        structure was class-irrelevant geometry). Labels stay the class
+        directory, so large severity spread adds label noise near the
+        boundary.
     """
     root = Path(root)
     rng = np.random.default_rng(seed)
@@ -101,13 +118,28 @@ def make_synthetic_adni(
                     and mod == ("MRI" if p % 2 == 0 else "PET")
                 )
                 eff = 0.5 if blind else float(ci)
-                if signal_jitter:
+                if shared_severity and not blind:
+                    # latent severity SHARED across the patient's scans
+                    # (the class-relevant cross-modal structure, see
+                    # docstring)
+                    sev_rng = np.random.default_rng((seed, 7, ci, p))
+                    eff = float(ci) + \
+                        shared_severity * sev_rng.standard_normal()
+                if signal_jitter and not (blind and shared_severity):
                     # independent per-(patient, modality) measurement
-                    # noise on the class channel — NOT shared across the
-                    # patient's scans (see docstring)
+                    # noise on the class/severity channel — NOT shared
+                    # across the patient's scans (see docstring)
                     scan_rng = np.random.default_rng(
                         (seed, ci, p, 0 if mod == "MRI" else 1))
                     eff = eff + signal_jitter * scan_rng.standard_normal()
+                if shared_severity and mod == "PET" and not blind:
+                    # PET renders its severity view as blob POSITION
+                    # along depth (class-neutral amplitude): the same
+                    # latent as MRI, a different geometric code.
+                    center = center.copy()
+                    center[0] += 0.25 * float(np.clip(eff - 0.5,
+                                                      -1.2, 1.2))
+                    eff = 0.5
                 radius = max(0.05, 0.18 + 0.10 * class_gap * eff)
                 intensity = 1.0 + 0.5 * class_gap * eff
                 vol = intensity * _blob(s, center, radius, rng)

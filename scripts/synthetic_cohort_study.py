@@ -79,6 +79,12 @@ def main():
     ap.add_argument("--noise", type=float, default=0.25)
     ap.add_argument("--signal-dropout", type=float, default=0.5)
     ap.add_argument("--signal-jitter", type=float, default=0.5)
+    # v3 knob: class-relevant CROSS-MODAL shared structure (latent
+    # severity shared across a patient's scans, rendered as amplitude in
+    # MRI but POSITION in PET) — the regime the v2 generator provably
+    # lacked (hard_cohort_summary.md) and the one the flagship's OT
+    # manifold alignment targets.
+    ap.add_argument("--shared-severity", type=float, default=0.0)
     ap.add_argument("--out-dir", default="examples/synthetic_demo")
     ap.add_argument("--keep-runs", default=None,
                     help="directory to keep run outputs (default: temp)")
@@ -104,7 +110,8 @@ def main():
 
     knobs = dict(class_gap=args.class_gap, noise=args.noise,
                  signal_dropout=args.signal_dropout,
-                 signal_jitter=args.signal_jitter)
+                 signal_jitter=args.signal_jitter,
+                 shared_severity=args.shared_severity)
     fusion_lr = args.fusion_lr or args.lr / 5.0
     fusion_epochs = args.fusion_epochs or int(args.epochs * 1.5)
     for seed in range(args.seed_offset, args.seed_offset + args.seeds):
@@ -203,7 +210,9 @@ def main():
             f"{fusion_epochs} fusion epochs (lr {fusion_lr:g}).\n"
             f"Cohort: class_gap={args.class_gap:g}, noise={args.noise:g}, "
             f"signal_dropout={args.signal_dropout:g}, "
-            f"signal_jitter={args.signal_jitter:g} (see data/synthetic.py).\n"
+            f"signal_jitter={args.signal_jitter:g}, "
+            f"shared_severity={args.shared_severity:g} "
+            "(see data/synthetic.py).\n"
             "Reference ordering targeted: OT+attn 0.9167 > mmfusion "
             "0.8750 > unimodal 0.8611\n(comparative_results/*.csv).\n\n"
             "| setup | mean val acc | std | n |\n|---|---|---|---|\n")

@@ -127,6 +127,42 @@ def test_synthetic_signal_jitter_deterministic_and_per_scan(tmp_path):
     assert paired and all(abs(dm - dp) > 1e-6 for dm, dp in paired)
 
 
+def test_synthetic_shared_severity(tmp_path):
+    """shared_severity (cohort v3) encodes a patient-shared latent in
+    modality-specific geometry: PET blob position along depth separates
+    the classes while shared_severity=0 reproduces the v2 generator
+    bit-for-bit (existing committed study legs stay valid)."""
+    from otfusion_tpu.data.nifti_io import read_nifti
+
+    base = make_synthetic_adni(
+        tmp_path / "v2", n_per_class=3, shape=(12, 12, 12), seed=5,
+        signal_jitter=0.4)
+    off = make_synthetic_adni(
+        tmp_path / "off", n_per_class=3, shape=(12, 12, 12), seed=5,
+        signal_jitter=0.4, shared_severity=0.0)
+    for p in sorted(base.rglob("*.nii*")):
+        q = off / p.relative_to(base)
+        np.testing.assert_array_equal(read_nifti(p), read_nifti(q))
+
+    tree = make_synthetic_adni(
+        tmp_path / "v3", n_per_class=8, shape=(12, 12, 12), seed=5,
+        noise=0.05, signal_jitter=0.2, shared_severity=0.3)
+
+    def com_z(path):
+        v = np.clip(np.asarray(read_nifti(path), np.float64), 0, None)
+        zz = np.arange(v.shape[0])[:, None, None]
+        return float((v * zz).sum() / v.sum())
+
+    zs = {}
+    for cls in ("AD", "CN"):
+        pets = sorted((tree / f"{cls}_PET_{130 if cls == 'AD' else 229}"
+                       "_FIN").rglob("*AV45*"))
+        assert len(pets) == 8
+        zs[cls] = np.mean([com_z(p) for p in pets])
+    # AD (class 0) shifts toward low z, CN (class 1) toward high z
+    assert zs["CN"] - zs["AD"] > 1.0, zs
+
+
 def test_detect_class_names(adni_tree):
     table = detect_class_names(str(adni_tree))
     assert "AD_MRI_130_FIN" in table  # MRI preferred over PET
