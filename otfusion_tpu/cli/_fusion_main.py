@@ -149,6 +149,7 @@ def fusion_main(
         tp_size=args.tp_size,
         num_workers=args.num_workers,
         feature_batch_size=args.feature_batch_size,
+        eval_batch_size=args.eval_batch_size,
         config_lines={
             "Dataset": args.data_dir,
             "Train/Val Split": f"{1 - args.val_fraction:.1%}/"

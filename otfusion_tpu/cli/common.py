@@ -70,6 +70,15 @@ def add_common_args(parser: argparse.ArgumentParser, *, epochs: int,
                              "7x7 stem that fills the MXU better "
                              "(pretrained imports are rewritten "
                              "losslessly; TPU-native addition)")
+    parser.add_argument("--eval-batch-size", type=int, default=None,
+                        help="Batch size for validation/eval epochs "
+                             "(forward-only — no stored backward "
+                             "activations — so a larger batch than "
+                             "--batch-size fits; default 4x "
+                             "--batch-size). Eval uses running BN "
+                             "stats and sample-weighted accumulation, "
+                             "so metrics are batch-size independent "
+                             "(TPU-native addition)")
     parser.add_argument("--grad-accum", type=int, default=1,
                         help="Split each batch into N sequential "
                              "microbatches inside the jitted step "

@@ -78,10 +78,26 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
-    from otfusion_tpu.data.loader import Loader, MultimodalLoader
+    from otfusion_tpu.data.loader import (Loader, MultimodalLoader,
+                                          _VolumeCache)
     from otfusion_tpu.metrics.classification import classification_metrics
     from otfusion_tpu.train.train_state import create_train_state
-    from otfusion_tpu.utils.checkpoint import restore_checkpoint
+    from otfusion_tpu.utils.checkpoint import (restore_checkpoint,
+                                               rewrite_stem_params)
+
+    def _graft_s2d(state, s2d_state, module_names):
+        # Serve-time plain->s2d stem rewrite: graft every backbone's
+        # rewritten kernels into the s2d-initialised state. BN stats
+        # live on output channels — unchanged by the stem kernel
+        # layout, grafted verbatim.
+        params = dict(state.params)
+        for name in module_names:
+            params[name] = rewrite_stem_params(
+                state.params[name], s2d_state.params[name])
+        print("Serving with the space-to-depth stem "
+              "(lossless rewrite; --stem as-trained disables)")
+        return s2d_state.replace(params=params,
+                                 batch_stats=state.batch_stats)
 
     cfg = load_manifest(args.run_dir)
     target_shape = tuple(cfg["target_shape"])
@@ -89,6 +105,7 @@ def main(argv=None):
     dtype = jnp.dtype(cfg.get("dtype", "float32"))
     ckpt_dir = os.path.join(args.run_dir, "best_model")
     out_path = args.output or os.path.join(args.run_dir, "predictions.csv")
+    cache = _VolumeCache(target_shape, num_workers=args.num_workers)
 
     if cfg["kind"] == "fusion":
         from otfusion_tpu.data.datasets import MultimodalNiftiDataset
@@ -133,7 +150,8 @@ def main(argv=None):
         # folder names — no silent 0-sample run reaches the model)
         print(f"Found {len(dataset)} paired samples")
         loader = MultimodalLoader(dataset.samples, target_shape,
-                                  args.batch_size, shuffle=False)
+                                  args.batch_size, shuffle=False,
+                                  cache=cache)
         # --stem auto: the default ResNet3D backbones' plain stem is
         # exactly rewritable to the faster space-to-depth layout; serve
         # through it (registry backbones ignore s2d_stem — no rewrite).
@@ -178,24 +196,14 @@ def main(argv=None):
         )
         state = restore_checkpoint(ckpt_dir, state)
         if s2d_rewrite:
-            from otfusion_tpu.utils.checkpoint import rewrite_stem_params
-
             model = _build(True)
             s2d_state = create_train_state(
                 model, jax.random.key(0),
                 (jnp.asarray(mri0[:1]), jnp.asarray(pet0[:1])),
                 1e-3, t_feature=tv,
             )
-            params = dict(state.params)
-            for mod_name in ("mri_backbone", "pet_backbone"):
-                params[mod_name] = rewrite_stem_params(
-                    state.params[mod_name], s2d_state.params[mod_name])
-            # BN stats live on output channels — unchanged by the stem
-            # kernel layout, graft verbatim.
-            state = s2d_state.replace(params=params,
-                                      batch_stats=state.batch_stats)
-            print("Serving with the space-to-depth stem "
-                  "(lossless rewrite; --stem as-trained disables)")
+            state = _graft_s2d(state, s2d_state,
+                               ("mri_backbone", "pet_backbone"))
         eval_step = make_fusion_eval_step(model)
 
         def run_batch(batch):
@@ -217,7 +225,7 @@ def main(argv=None):
         # (an empty cohort raises inside NiftiDataset — see above)
         print(f"Found {len(dataset)} samples")
         loader = Loader(dataset.samples, target_shape, args.batch_size,
-                        shuffle=False)
+                        shuffle=False, cache=cache)
         cfg_s2d = bool(cfg.get("s2d_stem", False))
         s2d_rewrite = (args.stem == "auto" and not cfg_s2d
                        and target_shape[1] % 2 == 0
@@ -231,21 +239,13 @@ def main(argv=None):
                                    (jnp.asarray(vol0[:1]),), 1e-3)
         state = restore_checkpoint(ckpt_dir, state)
         if s2d_rewrite:
-            from otfusion_tpu.utils.checkpoint import rewrite_stem_params
-
             model = ResNet3DClassifier(
                 depth=int(cfg["model_depth"]), num_classes=num_classes,
                 s2d_stem=True, dtype=dtype,
             )
             s2d_state = create_train_state(model, jax.random.key(0),
                                            (jnp.asarray(vol0[:1]),), 1e-3)
-            params = dict(state.params)
-            params["backbone"] = rewrite_stem_params(
-                state.params["backbone"], s2d_state.params["backbone"])
-            state = s2d_state.replace(params=params,
-                                      batch_stats=state.batch_stats)
-            print("Serving with the space-to-depth stem "
-                  "(lossless rewrite; --stem as-trained disables)")
+            state = _graft_s2d(state, s2d_state, ("backbone",))
         eval_step = make_unimodal_eval_step(model)
 
         def run_batch(batch):

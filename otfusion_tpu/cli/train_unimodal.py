@@ -151,6 +151,7 @@ def main(argv=None):
         augment=args.augment,
         s2d_stem=args.s2d_stem,
         grad_accum=args.grad_accum,
+        eval_batch_size=args.eval_batch_size,
         dtype=resolve_dtype(args.dtype),
         profile_dir=args.profile_dir,
         resume=args.resume,

@@ -17,6 +17,7 @@ step functions changes.
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence
 
 import jax
@@ -173,7 +174,14 @@ def place_replicated(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda a: jax.device_put(a, rep), tree)
 
 
-_RESHARD_CACHE: dict = {}
+@functools.lru_cache(maxsize=32)
+def _reshard_fn(sh):
+    # Memoised per sharding so repeated placements reuse one jit wrapper
+    # (a fresh lambda per call would defeat jax's own compile cache);
+    # BOUNDED so long-lived processes that build many meshes (sequential
+    # study runs, test sessions) don't pin every old Mesh alive through
+    # retained executables.
+    return jax.jit(lambda x: x, out_shardings=sh)
 
 
 def _reshard_global(a, sh):
@@ -182,11 +190,7 @@ def _reshard_global(a, sh):
     scatter). COLLECTIVE: every process must reach this in the same
     order, which holds for ``place_state`` (all processes tree_map an
     identical state structure)."""
-    fn = _RESHARD_CACHE.get(sh)
-    if fn is None:
-        fn = jax.jit(lambda x: x, out_shardings=sh)
-        _RESHARD_CACHE[sh] = fn
-    return fn(a)
+    return _reshard_fn(sh)(a)
 
 
 def place_state(state, mesh: Mesh):

@@ -105,30 +105,50 @@ class _NullWriter:
 def _append_jsonl(path, record):
     """Structured per-epoch metrics stream (one JSON object per line) —
     the machine-readable complement of results.txt. Primary-process only
-    under multi-host."""
+    under multi-host. Returns the byte offset the line was written at
+    (None on non-primary processes), for `_rewrite_last_jsonl`."""
     if not _is_primary():
-        return
+        return None
     with open(path, "a") as f:
+        offset = f.tell()
         f.write(json.dumps(record, default=float) + "\n")
+    return offset
 
 
-def _rewrite_last_jsonl(path, record):
-    """Atomically replace the last line of the jsonl stream.
+def _rewrite_last_jsonl(path, record, offset):
+    """Replace the tail line written at ``offset`` in O(1), not O(file).
 
     The epoch row is appended right after eval so a crash during the
     (potentially minutes-long) checkpoint save or end-of-epoch coupling
     solve cannot lose a completed epoch's metrics; once those trailing
     phases finish, the same row is replaced with the complete record
-    (full phase_seconds, post-plateau-scheduler lr). tmp+rename keeps
-    the file valid if the process dies mid-rewrite."""
+    (full phase_seconds, post-plateau-scheduler lr). Seek+truncate keeps
+    every earlier (complete) line intact if the process dies mid-write —
+    the same exposure the original append already has — without
+    re-reading and rewriting the whole stream each epoch."""
+    if not _is_primary() or offset is None:
+        return
+    with open(path, "r+") as f:
+        f.seek(offset)
+        f.truncate()
+        f.write(json.dumps(record, default=float) + "\n")
+
+
+def _save_tv(save_path, tv):
+    """Persist the flagship's serving coupling (primary-only, atomic).
+
+    Written at every best-checkpoint save AND after the post-loop
+    best-model re-evaluation, so any best_model/ on disk always has a
+    t_feature.npy beside it for cli/predict.py — a preempted multi-day
+    run stays servable. tmp+rename keeps the previous coupling valid if
+    the process dies mid-write."""
     if not _is_primary():
         return
-    with open(path) as f:
-        lines = f.readlines()
-    lines[-1] = json.dumps(record, default=float) + "\n"
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        f.writelines(lines)
+    from otfusion_tpu.utils.checkpoint import _to_host
+
+    path = os.path.join(save_path, "t_feature.npy")
+    tmp = path + ".tmp.npy"
+    np.save(tmp, _to_host(tv))
     os.replace(tmp, path)
 
 
@@ -195,6 +215,18 @@ def _run_train_epoch(train_step, state, loader, extra_args, rng_base):
     return state, total_loss / total_n, total_correct / total_n
 
 
+def _resolve_eval_batch(eval_batch_size, batch_size):
+    """--eval-batch-size policy: default 4x the train batch (eval/feature
+    passes are forward-only — no stored backward activations — so 4x
+    stays far below the train step's fwd+bwd HBM peak); explicit values
+    validated."""
+    if eval_batch_size is not None and eval_batch_size < 1:
+        raise ValueError(
+            f"--eval-batch-size must be >= 1, got {eval_batch_size}")
+    return (eval_batch_size if eval_batch_size is not None
+            else 4 * batch_size)
+
+
 def _run_eval_epoch(eval_step, state, loader, extra_args,
                     collect_logits=False):
     total_loss, total_correct, total_n = 0.0, 0, 0
@@ -256,6 +288,7 @@ def run_fusion_training(
     fot_threshold: float = 1e-3,
     grad_accum: int = 1,
     feature_batch_size: Optional[int] = None,
+    eval_batch_size: Optional[int] = None,
     mri_pretrained: Optional[str] = None,
     pet_pretrained: Optional[str] = None,
     mri_backbone: str = "",
@@ -332,8 +365,13 @@ def run_fusion_training(
         train_samples, target_shape, feat_batch, shuffle=False, cache=cache,
         host_shard=host_shard,
     )
+    # Eval is forward-only with running BN stats and sample-weighted loss
+    # accumulation (_run_eval_epoch), so a larger eval batch is EXACT (up
+    # to fp reduction order) and cuts the eval phase the same way the
+    # feature pass above does — same 4x default, same HBM argument.
+    eval_batch = _resolve_eval_batch(eval_batch_size, batch_size)
     val_loader = MultimodalLoader(
-        val_samples, target_shape, batch_size, shuffle=False, cache=cache,
+        val_samples, target_shape, eval_batch, shuffle=False, cache=cache,
         host_shard=host_shard,
     )
 
@@ -541,7 +579,7 @@ def run_fusion_training(
         # the minutes-long end-of-epoch coupling solve cannot lose this
         # completed epoch's row; rewritten with the trailing phases (and
         # the post-plateau-scheduler lr) once they finish.
-        _append_jsonl(jsonl_path, _epoch_record())
+        row_offset = _append_jsonl(jsonl_path, _epoch_record())
 
         if val_loss < best_val_loss:
             best_val_loss = val_loss
@@ -550,6 +588,14 @@ def run_fusion_training(
             # collective under multi-host: every process participates
             # (orbax barriers internally); primary owns the filesystem
             save_checkpoint(model_dir, state, best_summary)
+            if needs_tv and tv is not None:
+                # Keep every best checkpoint servable: persist the
+                # coupling these weights were trained to attend with,
+                # so a preempted run still pairs best_model/ with a
+                # valid t_feature.npy. The post-loop block overwrites
+                # it with the coupling recomputed from the restored
+                # best state (the exact serving pairing).
+                _save_tv(save_path, tv)
 
         new_lr = scheduler.step(val_loss)
         state = set_learning_rate(state, new_lr)
@@ -567,7 +613,7 @@ def run_fusion_training(
         if needs_tv and epoch < epochs:
             tv = compute_tv()
             _clock("coupling")
-        _rewrite_last_jsonl(jsonl_path, _epoch_record())
+        _rewrite_last_jsonl(jsonl_path, _epoch_record(), row_offset)
 
     writer.summary(best_val_loss, best_summary, model_dir)
 
@@ -594,10 +640,7 @@ def run_fusion_training(
             # not servable standalone (the reference recomputes the plan
             # from TRAIN-set features every epoch and never saves it,
             # attn:1233-1296). cli/predict.py restores this.
-            from otfusion_tpu.utils.checkpoint import _to_host
-
-            np.save(os.path.join(save_path, "t_feature.npy"),
-                    _to_host(final_tv))
+            _save_tv(save_path, final_tv)
 
     return {
         "best_val_loss": best_val_loss,
@@ -623,6 +666,7 @@ def run_unimodal_training(
     augment: bool = False,
     s2d_stem: bool = False,
     grad_accum: int = 1,
+    eval_batch_size: Optional[int] = None,
     dtype=jnp.float32,
     results_title: str = "3D ResNet Training Results - ADNI MRI Dataset",
     config_lines: Optional[Dict[str, object]] = None,
@@ -664,8 +708,11 @@ def run_unimodal_training(
         shuffle=True, augment=augment, seed=seed, cache=cache,
         host_shard=host_shard,
     )
+    # forward-only eval at a larger batch is exact — see the fusion
+    # trainer's val_loader note
     val_loader = Loader(
-        [samples[i] for i in val_idx], target_shape, batch_size,
+        [samples[i] for i in val_idx], target_shape,
+        _resolve_eval_batch(eval_batch_size, batch_size),
         shuffle=False, cache=cache, host_shard=host_shard,
     )
 
@@ -757,7 +804,7 @@ def run_unimodal_training(
 
         # durable-then-complete, as in the fusion loop: the row exists
         # before the checkpoint saves, then gains the checkpoint timing
-        _append_jsonl(jsonl_path, _epoch_record())
+        row_offset = _append_jsonl(jsonl_path, _epoch_record())
         if val_loss < best_val_loss:
             best_val_loss = val_loss
             best_summary = {"epoch": epoch, "val_loss": val_loss,
@@ -772,7 +819,7 @@ def run_unimodal_training(
             include_opt_state=True,
         )
         _clock("checkpoint")
-        _rewrite_last_jsonl(jsonl_path, _epoch_record())
+        _rewrite_last_jsonl(jsonl_path, _epoch_record(), row_offset)
 
     writer.summary(best_val_loss, best_summary, model_dir)
 

@@ -12,6 +12,7 @@ reference's --mri-pretrained/--pet-pretrained flags.
 from __future__ import annotations
 
 import atexit
+import functools
 import json
 import os
 import threading
@@ -82,7 +83,16 @@ def flush_checkpoints() -> None:
         raise err
 
 
-_GATHER_CACHE: dict = {}
+@functools.lru_cache(maxsize=32)
+def _gather_fn(sharding):
+    # Memoised per source sharding (one jit wrapper, see
+    # parallel/mesh.py:_reshard_fn); bounded so sequential runs with
+    # fresh meshes don't accumulate executables for the process
+    # lifetime.
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    rep = NamedSharding(sharding.mesh, PartitionSpec())
+    return jax.jit(lambda x: x, out_shardings=rep)
 
 
 def _gather_replicated(a):
@@ -90,14 +100,7 @@ def _gather_replicated(a):
     identity with replicated out_shardings). COLLECTIVE: every process
     must reach this call in the same order — true for the checkpoint
     paths, which tree_map identical state structures on all processes."""
-    fn = _GATHER_CACHE.get(a.sharding)
-    if fn is None:
-        from jax.sharding import NamedSharding, PartitionSpec
-
-        rep = NamedSharding(a.sharding.mesh, PartitionSpec())
-        fn = jax.jit(lambda x: x, out_shardings=rep)
-        _GATHER_CACHE[a.sharding] = fn
-    return fn(a)
+    return _gather_fn(a.sharding)(a)
 
 
 def _to_host(tree, copy: bool = False):

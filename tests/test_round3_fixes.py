@@ -118,10 +118,11 @@ def test_fusion_cli_flags_round_trip(tmp_path, monkeypatch):
           "8", "8", "8", "--model-depth", "10", "--dtype", "float32",
           "--val-fraction", "0.34",
           "--raw-reference-plan", "--s2d-stem",
-          "--feature-batch-size", "16"])
+          "--feature-batch-size", "16", "--eval-batch-size", "12"])
     assert captured["raw_plan"] is True
     assert captured["s2d_stem"] is True
     assert captured["feature_batch_size"] == 16
+    assert captured["eval_batch_size"] == 12
 
 
 def test_coupling_invariant_to_feature_batch_size(rng):
@@ -291,11 +292,60 @@ def test_rewrite_last_jsonl(tmp_path):
     from otfusion_tpu.train.loop import _append_jsonl, _rewrite_last_jsonl
 
     p = str(tmp_path / "metrics.jsonl")
-    _append_jsonl(p, {"epoch": 1, "phase_seconds": {"train": 1.0}})
-    _append_jsonl(p, {"epoch": 2, "phase_seconds": {"train": 1.0}})
+    off1 = _append_jsonl(p, {"epoch": 1, "phase_seconds": {"train": 1.0}})
+    off2 = _append_jsonl(p, {"epoch": 2, "phase_seconds": {"train": 1.0}})
+    assert off1 == 0 and off2 > 0
+    # The completed record may be SHORTER or LONGER than the provisional
+    # row — seek+truncate must handle both without corrupting the tail.
     _rewrite_last_jsonl(
-        p, {"epoch": 2, "phase_seconds": {"train": 1.0, "checkpoint": 0.5}})
+        p, {"epoch": 2,
+            "phase_seconds": {"train": 1.0, "checkpoint": 0.5}}, off2)
     rows = [json.loads(l) for l in open(p)]
     assert [r["epoch"] for r in rows] == [1, 2]
     assert rows[0]["phase_seconds"] == {"train": 1.0}
     assert rows[1]["phase_seconds"] == {"train": 1.0, "checkpoint": 0.5}
+    _rewrite_last_jsonl(p, {"epoch": 2}, off2)
+    rows = [json.loads(l) for l in open(p)]
+    assert rows == [{"epoch": 1, "phase_seconds": {"train": 1.0}},
+                    {"epoch": 2}]
+
+
+def test_resolve_eval_batch_policy():
+    """--eval-batch-size: default 4x the train batch (forward-only eval
+    has no stored backward activations), explicit values pass through,
+    nonsense raises."""
+    from otfusion_tpu.train.loop import _resolve_eval_batch
+
+    assert _resolve_eval_batch(None, 8) == 32
+    assert _resolve_eval_batch(12, 8) == 12
+    with pytest.raises(ValueError):
+        _resolve_eval_batch(0, 8)
+
+
+def test_eval_metrics_invariant_to_eval_batch_size(rng):
+    """Eval accumulates sample-weighted loss over running BN stats, so
+    the epoch metrics must be IDENTICAL (up to fp reduction order) no
+    matter how the val set is batched — the invariance that makes the
+    4x --eval-batch-size default exact rather than approximate."""
+    from otfusion_tpu.models.resnet3d import ResNet3DClassifier
+    from otfusion_tpu.train.loop import _run_eval_epoch
+    from otfusion_tpu.train.steps import make_unimodal_eval_step
+
+    model = ResNet3DClassifier(depth=10, num_classes=2)
+    n = 7  # deliberately not a multiple of either batch size
+    vols = rng.normal(size=(n, 8, 8, 8, 1)).astype(np.float32)
+    labels = np.asarray(rng.integers(0, 2, size=n), np.int32)
+    state = create_train_state(model, jax.random.key(0), (vols[:2],), 1e-3)
+    eval_step = make_unimodal_eval_step(model)
+
+    def run(bs):
+        batches = [(jnp.asarray(vols[i:i + bs]),
+                    jnp.asarray(labels[i:i + bs]))
+                   for i in range(0, n, bs)]
+        return _run_eval_epoch(eval_step, state, batches, ())
+
+    loss2, acc2, preds2, targets2, _ = run(2)
+    loss5, acc5, preds5, targets5, _ = run(5)
+    assert preds2 == preds5 and targets2 == targets5
+    assert acc2 == acc5
+    np.testing.assert_allclose(loss2, loss5, rtol=1e-5)
