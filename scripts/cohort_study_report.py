@@ -43,6 +43,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("csvs", nargs="+")
     ap.add_argument("--out-dir", default="examples/synthetic_demo")
+    ap.add_argument("--tag", default="v2",
+                    help="study generation tag: titles the summary and "
+                         "names the artifacts (hard_cohort_results.csv / "
+                         "hard_cohort_summary.md for v2, "
+                         "hard_cohort_<tag>_*.{csv,md} otherwise) so "
+                         "different-generator studies never merge")
     ap.add_argument("--config", default="")
     ap.add_argument(
         "--conclusion-file",
@@ -74,7 +80,9 @@ def main():
 
     import os
     os.makedirs(args.out_dir, exist_ok=True)
-    csv_path = os.path.join(args.out_dir, "hard_cohort_results.csv")
+    stem = ("hard_cohort" if args.tag == "v2"
+            else f"hard_cohort_{args.tag}")
+    csv_path = os.path.join(args.out_dir, f"{stem}_results.csv")
     with open(csv_path, "w", newline="") as f:
         w = csv.writer(f)
         w.writerow(header)
@@ -90,7 +98,7 @@ def main():
                 f"wins {wins}/{len(d)} (ties {ties})")
 
     lines = [
-        "# Hard synthetic cohort: architecture separation (v2)",
+        f"# Hard synthetic cohort: architecture separation ({args.tag})",
         "",
         f"{len(seeds)} seeds ({', '.join(s.replace('seed','') for s in seeds)}); "
         + (args.config or "see scripts/synthetic_cohort_study.py defaults")
@@ -119,7 +127,7 @@ def main():
     if args.conclusion_file:
         with open(args.conclusion_file) as f:
             lines += ["", f.read().rstrip()]
-    md_path = os.path.join(args.out_dir, "hard_cohort_summary.md")
+    md_path = os.path.join(args.out_dir, f"{stem}_summary.md")
     with open(md_path, "w") as f:
         f.write("\n".join(lines) + "\n")
     print("\n".join(lines))
