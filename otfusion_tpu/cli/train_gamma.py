@@ -10,6 +10,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+from collections import deque
 from pathlib import Path
 
 import numpy as np
@@ -149,15 +150,26 @@ def main(argv=None):
         for epoch in range(1, args.epochs + 1):
             correct = total = 0
             loss_sum = 0.0
+            # lagged metric fetches — same pipelining as the main epoch
+            # loops (train/loop.py:_run_train_epoch): don't stall the
+            # dispatch queue on a device->host round-trip every step
+            pending = deque()
             for i, (fundus, oct_vol, labels) in enumerate(train_loader):
                 state, met = train_step(
                     state, jnp.asarray(fundus), jnp.asarray(oct_vol),
                     jnp.asarray(labels),
                     jax.random.fold_in(rng, epoch * 10_000 + i),
                 )
-                loss_sum += float(met["loss"]) * len(labels)
+                pending.append((met, len(labels)))
+                if len(pending) > 2:
+                    met, n = pending.popleft()
+                    loss_sum += float(met["loss"]) * n
+                    correct += int(met["correct"])
+                    total += n
+            for met, n in pending:
+                loss_sum += float(met["loss"]) * n
                 correct += int(met["correct"])
-                total += len(labels)
+                total += n
             tv = compute_eval_coupling(state, feat_loader, eval_step)
             preds, targets = [], []
             for fundus, oct_vol, labels in val_loader:

@@ -184,6 +184,54 @@ def is_primary() -> bool:
     return jax.process_index() == 0
 
 
+def warmup_collectives(*meshes) -> None:
+    """Establish every collective clique a mesh will use, NOW, while the
+    processes are still in lockstep.
+
+    XLA's CPU (Gloo) collectives initialise a context per device-set the
+    first time that set communicates, and the context handshake reads
+    the peer's address from the coordination service with a HARD 30 s
+    timeout (``GetKeyValue() timed out``, not configurable from JAX).
+    Big per-process compiles skew the processes by minutes on loaded
+    hosts, so a clique first touched mid-training can miss the handshake
+    window and kill the group — while an ALREADY-established clique
+    tolerates arbitrary peer skew (measured: a 70 s one-sided stall at a
+    warm psum just waits; tests/test_multihost.py relies on this).
+
+    For each mesh this runs one tiny psum over every individual axis
+    (creating the per-axis subgroup cliques, e.g. the (data 4) columns
+    of a 4x2 DPxTP mesh) plus one over all axes together (the
+    all-device clique used by replication/allgather). Single-process
+    groups return immediately. TPU ICI collectives don't use Gloo, but
+    the warmup is a few microseconds of device time there — safe to call
+    unconditionally after ``resolve_mesh`` under --multihost."""
+    if jax.process_count() == 1:
+        return
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    for mesh in meshes:
+        if mesh is None:
+            continue
+        names = tuple(mesh.axis_names)
+        shape = tuple(mesh.shape[n] for n in names)
+        host = np.ones(shape, np.float32)
+        arr = jax.make_array_from_callback(
+            shape, NamedSharding(mesh, P(*names)), lambda idx: host[idx])
+        axis_sets = [(n,) for n in names]
+        if len(names) > 1:
+            axis_sets.append(names)
+        for axes in axis_sets:
+            f = jax.jit(
+                jax.shard_map(lambda v: jax.lax.psum(v, axes), mesh=mesh,
+                              in_specs=P(*names), out_specs=P(*(
+                                  None if n in axes else n for n in names))),
+            )
+            # block (not np.asarray: the psum output keeps non-addressable
+            # shards on the other axes) — the clique must exist on return
+            jax.block_until_ready(f(arr))
+
+
 __all__ = [
     "allgather_rows",
     "global_batch_size",

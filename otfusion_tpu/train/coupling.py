@@ -18,6 +18,7 @@ TPU-native differences from the reference:
 
 from __future__ import annotations
 
+from collections import deque
 from typing import Callable, Iterable
 
 import jax
@@ -159,10 +160,21 @@ class CouplingService:
         return the device-resident (d_pet, d_mri) feature plan."""
         multiproc = jax.process_count() > 1
         mri_feats, pet_feats, labels = [], [], []
-        for mri, pet, lbl in batches:
-            mf, pf = self.feature_extract_step(state, mri, pet)
+        # Lagged device->host fetches (same pattern as the epoch loops):
+        # converting each batch's features immediately would stall on a
+        # tunnel round-trip before the next forward can dispatch. Keep a
+        # short deque of device arrays so JAX's async dispatch overlaps
+        # batch i+1's forward with batch i's fetch; the bound keeps at
+        # most ~3 volume batches of inputs in flight (HBM).
+        pending: deque = deque()
+
+        def _drain():
+            mf, pf = pending.popleft()
             mri_feats.append(np.asarray(mf))
             pet_feats.append(np.asarray(pf))
+
+        for mri, pet, lbl in batches:
+            pending.append(self.feature_extract_step(state, mri, pet))
             if multiproc:
                 # the DP-wrapped feature step returns the GLOBAL batch
                 # (replicated) while the host-sharded loader yields only
@@ -174,6 +186,10 @@ class CouplingService:
                 labels.append(allgather_rows(np.asarray(lbl)))
             else:
                 labels.append(np.asarray(lbl))
+            if len(pending) > 2:
+                _drain()
+        while pending:
+            _drain()
         mri_all = np.concatenate(mri_feats)
         pet_all = np.concatenate(pet_feats)
         y = np.concatenate(labels)

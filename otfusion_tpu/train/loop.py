@@ -24,6 +24,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from collections import deque
 from dataclasses import dataclass
 
 from typing import Dict, List, Optional, Sequence
@@ -200,15 +201,35 @@ def _global_n(local_n: int) -> int:
     return int(local_n)
 
 
+# In-flight steps before fetching metrics (see _run_train_epoch). 0
+# restores the fetch-every-step behaviour (A/B measurement knob).
+_PIPELINE_LAG = int(os.environ.get("OTFUSION_PIPELINE_LAG", "2"))
+
+
 def _run_train_epoch(train_step, state, loader, extra_args, rng_base):
     total_loss, total_correct, total_n = 0.0, 0, 0
     # Batches stay host numpy: the jitted step transfers them under its
     # own in_shardings (sharded over the mesh in the DP path). prefetch
     # assembles batch i+1 on a background thread while step i computes.
+    #
+    # Metric fetches run LAGGED: a synchronous float(met["loss"]) after
+    # every dispatch stalls the host on a device->host round-trip (tens
+    # of ms through this environment's TPU tunnel) before step i+1 can
+    # even be dispatched, leaving the device idle between steps. Keeping
+    # a small deque of un-fetched metrics lets JAX's async dispatch queue
+    # step i+1 while step i computes; the lag is bounded so at most
+    # ~_PIPELINE_LAG+1 batches of inputs are in flight (HBM-bounded).
+    pending = deque()
     for i, batch in enumerate(prefetch(iter(loader))):
         rng = jax.random.fold_in(rng_base, i)
         state, met = train_step(state, *batch, *extra_args, rng)
-        n = _global_n(batch[-1].shape[0])
+        pending.append((met, _global_n(batch[-1].shape[0])))
+        if len(pending) > _PIPELINE_LAG:
+            met, n = pending.popleft()
+            total_loss += float(met["loss"]) * n
+            total_correct += int(met["correct"])
+            total_n += n
+    for met, n in pending:
         total_loss += float(met["loss"]) * n
         total_correct += int(met["correct"])
         total_n += n
@@ -234,25 +255,39 @@ def _run_eval_epoch(eval_step, state, loader, extra_args,
     targets: List[int] = []
     logits_all = []
     multiproc = jax.process_count() > 1
-    for batch in prefetch(iter(loader)):
-        arrays = batch
-        out = eval_step(state, *arrays, *extra_args)
-        n = _global_n(arrays[-1].shape[0])
+
+    def _drain(out, n):
+        nonlocal total_loss, total_correct, total_n
         total_loss += float(out["loss"]) * n
         total_correct += int(out["correct"])
         total_n += n
-        # preds come back replicated (global batch order); targets are
-        # host-local rows under multi-host loading — gather them so the
-        # confusion metrics see the same global order on every process.
+        # preds come back replicated (global batch order)
         preds.extend(np.asarray(out["preds"]).tolist())
+        if collect_logits:
+            logits_all.append(np.asarray(out["logits"]))
+
+    # Same lagged-fetch pipelining as _run_train_epoch: dispatch batch
+    # i+1 before fetching batch i's metrics (the per-batch host fetch
+    # otherwise serialises a tunnel round-trip into every step).
+    pending = deque()
+    for batch in prefetch(iter(loader)):
+        arrays = batch
+        out = eval_step(state, *arrays, *extra_args)
+        pending.append((out, _global_n(arrays[-1].shape[0])))
+        # targets are host-local rows under multi-host loading — gather
+        # them so the confusion metrics see the same global order on
+        # every process (host-side collective; independent of the
+        # device fetch, so it stays in-loop).
         if multiproc:
             from otfusion_tpu.parallel.multihost import allgather_rows
 
             targets.extend(allgather_rows(np.asarray(arrays[-1])).tolist())
         else:
             targets.extend(np.asarray(arrays[-1]).tolist())
-        if collect_logits:
-            logits_all.append(np.asarray(out["logits"]))
+        if len(pending) > _PIPELINE_LAG:
+            _drain(*pending.popleft())
+    for out, n in pending:
+        _drain(out, n)
     logits = np.concatenate(logits_all) if logits_all else None
     return total_loss / total_n, total_correct / total_n, preds, targets, logits
 
@@ -327,6 +362,14 @@ def run_fusion_training(
     # (place_state), batches shard over ``data`` (the step factories
     # detect the model axis and leave the state sharding committed).
     mesh = resolve_mesh(num_devices, tp_size)
+    if mesh is not None and jax.process_count() > 1:
+        # Establish the Gloo/collective cliques while the processes are
+        # still in lockstep — the first context handshake has a hard
+        # 30 s window that the big step compiles below can skew past
+        # (parallel/multihost.py:warmup_collectives).
+        from otfusion_tpu.parallel import warmup_collectives
+
+        warmup_collectives(mesh)
 
     def _place(s):
         return place_state(s, mesh) if mesh is not None else s
@@ -518,7 +561,9 @@ def run_fusion_training(
         print(f"Resumed from {latest_dir} at epoch {start_epoch}")
 
     def compute_tv():
-        return svc.compute(state, iter(feat_loader))
+        # prefetch: overlap the loader's host I/O (cold first epoch) with
+        # the device forward passes, same as the train/eval epochs
+        return svc.compute(state, prefetch(iter(feat_loader)))
 
     tv = compute_tv() if needs_tv else None
 
@@ -693,6 +738,14 @@ def run_unimodal_training(
     # (place_state), batches shard over ``data`` (the step factories
     # detect the model axis and leave the state sharding committed).
     mesh = resolve_mesh(num_devices, tp_size)
+    if mesh is not None and jax.process_count() > 1:
+        # Establish the Gloo/collective cliques while the processes are
+        # still in lockstep — the first context handshake has a hard
+        # 30 s window that the big step compiles below can skew past
+        # (parallel/multihost.py:warmup_collectives).
+        from otfusion_tpu.parallel import warmup_collectives
+
+        warmup_collectives(mesh)
 
     def _place(s):
         return place_state(s, mesh) if mesh is not None else s
