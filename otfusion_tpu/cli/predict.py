@@ -80,7 +80,7 @@ def main(argv=None):
     import numpy as np
 
     from otfusion_tpu.data.loader import (Loader, MultimodalLoader,
-                                          _VolumeCache)
+                                          _VolumeCache, feed_dtype_for)
     from otfusion_tpu.metrics.classification import classification_metrics
     from otfusion_tpu.train.train_state import create_train_state
     from otfusion_tpu.utils.checkpoint import (restore_checkpoint,
@@ -152,7 +152,8 @@ def main(argv=None):
         print(f"Found {len(dataset)} paired samples")
         loader = MultimodalLoader(dataset.samples, target_shape,
                                   args.batch_size, shuffle=False,
-                                  cache=cache)
+                                  cache=cache,
+                                  feed_dtype=feed_dtype_for(dtype))
         # --stem auto: the default ResNet3D backbones' plain stem is
         # exactly rewritable to the faster space-to-depth layout; serve
         # through it (registry backbones ignore s2d_stem — no rewrite).
@@ -226,7 +227,8 @@ def main(argv=None):
         # (an empty cohort raises inside NiftiDataset — see above)
         print(f"Found {len(dataset)} samples")
         loader = Loader(dataset.samples, target_shape, args.batch_size,
-                        shuffle=False, cache=cache)
+                        shuffle=False, cache=cache,
+                        feed_dtype=feed_dtype_for(dtype))
         cfg_s2d = bool(cfg.get("s2d_stem", False))
         s2d_rewrite = (args.stem == "auto" and not cfg_s2d
                        and target_shape[1] % 2 == 0

@@ -134,14 +134,36 @@ def _augment_rng(seed: int, epoch: int, sample_idx: int,
     )
 
 
-def _stack(vols: List[np.ndarray], target_shape) -> np.ndarray:
+def _stack(vols: List[np.ndarray], target_shape,
+           dtype=np.float32) -> np.ndarray:
     """np.stack that tolerates an empty host row block (multi-host final
     partial batches smaller than the process count leave trailing hosts
     with zero rows — they must still yield a correctly-shaped batch for
     the allgather fallback, ADVICE.md round-2 finding 4)."""
     if not vols:
-        return np.empty((0, *target_shape, 1), np.float32)
-    return np.stack(vols)
+        return np.empty((0, *target_shape, 1), dtype)
+    return np.stack(vols).astype(dtype, copy=False)
+
+
+def feed_dtype_for(compute_dtype) -> np.dtype:
+    """The dtype volumes should be SHIPPED to the device in, given the
+    model's compute dtype.
+
+    In bf16 mode the backbone stem casts its input to bf16 before the
+    first conv (``flax.linen.Conv`` promotes x to the layer dtype), so
+    feeding pre-cast bf16 volumes is BIT-IDENTICAL to feeding f32 — both
+    reach the MXU as ``bf16(round-to-nearest-even(x))`` — while halving
+    host->device transfer bytes and the batch's HBM footprint (the
+    volumes are the largest per-step transfer: 2 x B x side^3 x 4 bytes
+    at the fusion production shape). The cast runs on the loader/prefetch
+    thread, overlapped with device compute. Any non-bf16 compute dtype
+    keeps the f32 feed (tests/test_feed_dtype.py asserts the bf16
+    equivalence bitwise)."""
+    import ml_dtypes  # jax dependency, always present
+
+    if np.dtype(compute_dtype) == np.dtype(ml_dtypes.bfloat16):
+        return np.dtype(ml_dtypes.bfloat16)
+    return np.dtype(np.float32)
 
 
 class Loader:
@@ -157,6 +179,7 @@ class Loader:
         seed: int = 42,
         cache: _VolumeCache | None = None,
         host_shard: "Tuple[int, int] | None" = None,
+        feed_dtype=np.float32,
     ):
         self.samples = list(samples)
         self.batch_size = batch_size
@@ -167,6 +190,7 @@ class Loader:
         # _augment_rng: augmentation draws live on their own keys)
         self.cache = cache or _VolumeCache(target_shape)
         self.host_shard = host_shard
+        self.feed_dtype = np.dtype(feed_dtype)
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -188,7 +212,7 @@ class Loader:
                     _augment_np(v, _augment_rng(self.seed, self._epoch, i))
                     for v, i in zip(vols, idx)
                 ]
-            yield (_stack(vols, self.cache.target_shape),
+            yield (_stack(vols, self.cache.target_shape, self.feed_dtype),
                    np.asarray(labels, np.int32))
 
 
@@ -205,6 +229,7 @@ class MultimodalLoader:
         seed: int = 42,
         cache: _VolumeCache | None = None,
         host_shard: "Tuple[int, int] | None" = None,
+        feed_dtype=np.float32,
     ):
         self.samples = list(samples)
         self.batch_size = batch_size
@@ -214,6 +239,7 @@ class MultimodalLoader:
         self.rng = random.Random(seed)  # shuffle stream ONLY
         self.cache = cache or _VolumeCache(target_shape)
         self.host_shard = host_shard
+        self.feed_dtype = np.dtype(feed_dtype)
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -247,7 +273,7 @@ class MultimodalLoader:
                     for v, i in zip(pet, idx)
                 ]
             yield (
-                _stack(mri, self.cache.target_shape),
-                _stack(pet, self.cache.target_shape),
+                _stack(mri, self.cache.target_shape, self.feed_dtype),
+                _stack(pet, self.cache.target_shape, self.feed_dtype),
                 np.asarray(labels, np.int32),
             )

@@ -37,6 +37,7 @@ from otfusion_tpu.data.loader import (
     Loader,
     MultimodalLoader,
     _VolumeCache,
+    feed_dtype_for,
     prefetch,
 )
 from otfusion_tpu.metrics.classification import classification_metrics
@@ -384,9 +385,13 @@ def run_fusion_training(
         from otfusion_tpu.parallel.multihost import host_shard_spec
 
         host_shard = host_shard_spec()
+    # bf16 mode ships bf16 volumes (bit-identical — the stem conv casts
+    # anyway; halves H2D bytes + batch HBM, see loader.feed_dtype_for)
+    feed = feed_dtype_for(dtype)
     train_loader = MultimodalLoader(
         train_samples, target_shape, batch_size, shuffle=True,
         augment=augment, seed=seed, cache=cache, host_shard=host_shard,
+        feed_dtype=feed,
     )
     # Deterministic-order loader for feature extraction (no augmentation).
     # The pass is forward-only (eval mode, per-sample independent), so a
@@ -406,7 +411,7 @@ def run_fusion_training(
                   else 4 * batch_size)
     feat_loader = MultimodalLoader(
         train_samples, target_shape, feat_batch, shuffle=False, cache=cache,
-        host_shard=host_shard,
+        host_shard=host_shard, feed_dtype=feed,
     )
     # Eval is forward-only with running BN stats and sample-weighted loss
     # accumulation (_run_eval_epoch), so a larger eval batch is EXACT (up
@@ -415,7 +420,7 @@ def run_fusion_training(
     eval_batch = _resolve_eval_batch(eval_batch_size, batch_size)
     val_loader = MultimodalLoader(
         val_samples, target_shape, eval_batch, shuffle=False, cache=cache,
-        host_shard=host_shard,
+        host_shard=host_shard, feed_dtype=feed,
     )
 
     model = MultimodalOTFusion(
@@ -756,17 +761,18 @@ def run_unimodal_training(
         from otfusion_tpu.parallel.multihost import host_shard_spec
 
         host_shard = host_shard_spec()
+    feed = feed_dtype_for(dtype)  # bf16 mode ships bf16 volumes (exact)
     train_loader = Loader(
         [samples[i] for i in train_idx], target_shape, batch_size,
         shuffle=True, augment=augment, seed=seed, cache=cache,
-        host_shard=host_shard,
+        host_shard=host_shard, feed_dtype=feed,
     )
     # forward-only eval at a larger batch is exact — see the fusion
     # trainer's val_loader note
     val_loader = Loader(
         [samples[i] for i in val_idx], target_shape,
         _resolve_eval_batch(eval_batch_size, batch_size),
-        shuffle=False, cache=cache, host_shard=host_shard,
+        shuffle=False, cache=cache, host_shard=host_shard, feed_dtype=feed,
     )
 
     model = ResNet3DClassifier(depth=model_depth, num_classes=num_classes,
