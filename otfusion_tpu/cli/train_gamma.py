@@ -95,6 +95,11 @@ def main(argv=None):
         num_classes=args.num_classes, oct_feature_dim=oct_dim,
         dtype=resolve_dtype(args.dtype),
     )
+    # bf16 mode ships bf16 fundus/OCT batches (exact — see
+    # data/loader.py:feed_dtype_for)
+    from otfusion_tpu.data.loader import feed_dtype_for
+
+    feed = feed_dtype_for(resolve_dtype(args.dtype))
 
     def compute_eval_coupling(state, loader, eval_step):
         f_all, o_all, y_all = [], [], []
@@ -132,9 +137,11 @@ def main(argv=None):
               f"({len(train_idx)} train / {len(val_idx)} val) ===")
         train_loader = GammaLoader(dataset, train_idx, args.batch_size,
                                    shuffle=True, augment=True,
-                                   seed=args.seed + fold)
-        feat_loader = GammaLoader(dataset, train_idx, args.batch_size)
-        val_loader = GammaLoader(dataset, val_idx, args.batch_size)
+                                   seed=args.seed + fold, feed_dtype=feed)
+        feat_loader = GammaLoader(dataset, train_idx, args.batch_size,
+                                  feed_dtype=feed)
+        val_loader = GammaLoader(dataset, val_idx, args.batch_size,
+                                 feed_dtype=feed)
 
         fundus0, oct0, _ = next(iter(val_loader))
         state = create_train_state(
@@ -193,7 +200,8 @@ def main(argv=None):
     # Deep-ensemble evaluation over the last fold's validation set
     # (test.py evaluates the member ensemble on held-out data).
     _, (train_idx, val_idx) = len(folds) - 1, folds[-1]
-    val_loader = GammaLoader(dataset, val_idx, args.batch_size)
+    val_loader = GammaLoader(dataset, val_idx, args.batch_size,
+                             feed_dtype=feed)
     batches = [
         (jnp.asarray(f), jnp.asarray(o), jnp.asarray(l))
         for f, o, l in val_loader

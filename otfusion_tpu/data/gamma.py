@@ -135,6 +135,7 @@ class GammaLoader:
         shuffle: bool = False,
         augment: bool = False,
         seed: int = 42,
+        feed_dtype=np.float32,
     ):
         self.dataset = dataset
         self.indices = list(indices)
@@ -142,6 +143,9 @@ class GammaLoader:
         self.shuffle = shuffle
         self.augment = augment
         self.rng = random.Random(seed)
+        # bf16 compute mode ships bf16 batches — exact, the first conv
+        # casts anyway (see data/loader.py:feed_dtype_for)
+        self.feed_dtype = np.dtype(feed_dtype)
         self._cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
 
     def __len__(self) -> int:
@@ -181,8 +185,8 @@ class GammaLoader:
                 octs.append(o)
                 labels.append(label)
             yield (
-                np.stack(fundus),
-                np.stack(octs),
+                np.stack(fundus).astype(self.feed_dtype, copy=False),
+                np.stack(octs).astype(self.feed_dtype, copy=False),
                 np.asarray(labels, np.int32),
             )
 

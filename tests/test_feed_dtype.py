@@ -150,6 +150,34 @@ def test_bf16_trainer_with_dp_mesh(tree, tmp_path):
     assert len(h) == 1 and np.isfinite(h[0].train_loss)
 
 
+def test_legacy_eval_step_bitwise_invariant_to_bf16_feed():
+    """GAMMA path: fundus(2D) + OCT(3D) through LegacyMultiModalFusion
+    in bf16 mode must also be feed-dtype invariant (cli/train_gamma.py
+    wires feed_dtype into GammaLoader)."""
+    from otfusion_tpu.models.legacy_fusion import LegacyMultiModalFusion
+    from otfusion_tpu.train.legacy_steps import make_legacy_eval_step
+    from otfusion_tpu.train.train_state import create_train_state
+
+    oct_dim = 512  # 512 * D' with D'=1 for 8^3 inputs (pool="hw")
+    model = LegacyMultiModalFusion(num_classes=2, oct_feature_dim=oct_dim,
+                                   dtype=jnp.bfloat16)
+    rng = np.random.default_rng(6)
+    fundus = rng.uniform(0, 1, size=(2, 32, 32, 3)).astype(np.float32)
+    oct_vol = rng.uniform(0, 1, size=(2, 8, 8, 8, 1)).astype(np.float32)
+    lbl = np.array([0, 1], np.int32)
+    tv = jnp.zeros((oct_dim, 2048), jnp.float32)
+    state = create_train_state(
+        model, jax.random.key(0),
+        (jnp.asarray(fundus), jnp.asarray(oct_vol), tv), 1e-3)
+    step = make_legacy_eval_step(model)
+    o32 = step(state, fundus, oct_vol, lbl, tv)
+    o16 = step(state, fundus.astype(ml_dtypes.bfloat16),
+               oct_vol.astype(ml_dtypes.bfloat16), lbl, tv)
+    _bitwise(o32["logits"], o16["logits"])
+    _bitwise(o32["fundus_feat"], o16["fundus_feat"])
+    _bitwise(o32["oct_feat"], o16["oct_feat"])
+
+
 def test_unimodal_eval_step_bitwise_invariant_to_bf16_feed():
     from otfusion_tpu.models import ResNet3DClassifier
     from otfusion_tpu.train.steps import make_unimodal_eval_step
