@@ -237,16 +237,35 @@ def _run_train_epoch(train_step, state, loader, extra_args, rng_base):
     return state, total_loss / total_n, total_correct / total_n
 
 
-def _resolve_eval_batch(eval_batch_size, batch_size):
+# Largest forward-only batch x voxel product the auto-scaled eval /
+# feature batches will pick: 16 x 128^3. B=16 @128^3 is measured good on
+# a v5e (215 ms forward, 74 samples/s, depth-101 bf16); B=32 @128^3 was
+# NOT compilable in this environment within a 10-minute probe (the same
+# server-side resource ceiling that HTTP-500s the B=16 train step and
+# 2-microbatch grad-accum at this shape — docs/perf_notes.md lever 3).
+# Explicit --eval/feature-batch-size values are never capped.
+_AUTO_FWD_VOXEL_BUDGET = 16 * 128**3
+
+
+def _resolve_eval_batch(eval_batch_size, batch_size, target_shape=None):
     """--eval-batch-size policy: default 4x the train batch (eval/feature
     passes are forward-only — no stored backward activations — so 4x
-    stays far below the train step's fwd+bwd HBM peak); explicit values
-    validated."""
+    stays far below the train step's fwd+bwd HBM peak), voxel-budget
+    capped at large volume shapes (see _AUTO_FWD_VOXEL_BUDGET); explicit
+    values validated but never capped."""
     if eval_batch_size is not None and eval_batch_size < 1:
         raise ValueError(
             f"--eval-batch-size must be >= 1, got {eval_batch_size}")
-    return (eval_batch_size if eval_batch_size is not None
-            else 4 * batch_size)
+    if eval_batch_size is not None:
+        return eval_batch_size
+    auto = 4 * batch_size
+    if target_shape is not None:
+        voxels = int(np.prod(target_shape))
+        cap = max(1, _AUTO_FWD_VOXEL_BUDGET // max(1, voxels))
+        # never auto-pick below the train batch itself (the train step
+        # already proves that batch fits with backward activations)
+        auto = max(min(auto, cap), min(batch_size, auto))
+    return auto
 
 
 def _run_eval_epoch(eval_step, state, loader, extra_args,
