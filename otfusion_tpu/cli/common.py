@@ -64,12 +64,17 @@ def add_common_args(parser: argparse.ArgumentParser, *, epochs: int,
     parser.add_argument("--profile-dir", type=str, default=None,
                         help="Capture a jax.profiler trace of epoch 1 "
                              "into this directory (TPU-native addition)")
-    parser.add_argument("--s2d-stem", action="store_true",
+    parser.add_argument("--s2d-stem", action=argparse.BooleanOptionalAction,
+                        default=None,
                         help="Space-to-depth ResNet stem: exact "
                              "weight-space equivalent of the stride-2 "
                              "7x7 stem that fills the MXU better "
                              "(pretrained imports are rewritten "
-                             "losslessly; TPU-native addition)")
+                             "losslessly; measured ~12%% faster at the "
+                             "flagship shape). Default: ON for fresh "
+                             "runs; --resume keeps the stem recorded in "
+                             "the run's model_config.json (TPU-native "
+                             "addition)")
     parser.add_argument("--eval-batch-size", type=int, default=None,
                         help="Batch size for validation/eval epochs "
                              "(forward-only — no stored backward "
