@@ -289,6 +289,7 @@ def restore_backbone(
     target_module: str,
     source_module: str = "backbone",
     depth: int | None = None,
+    backbone: str = "",
 ):
     """Graft a pretrained classifier's backbone into a fusion state.
 
@@ -298,17 +299,20 @@ def restore_backbone(
 
     A ``.pth``/``.pt`` path instead imports reference-trained torch
     weights (partial intersect-keys graft, generate_model.py:112-125 /
-    attn:509-511 semantics) — ``depth`` must then be given to resolve the
-    block layout.
+    attn:509-511 / fundus_swin_network.py:59-75 semantics) for ANY zoo
+    family — ``backbone`` is the registry spec ('' = inline ResNet3D,
+    which then requires ``depth`` to resolve the block layout).
     """
     if str(backbone_ckpt_dir).endswith((".pth", ".pt")):
-        from otfusion_tpu.utils.torch_import import graft_torch_resnet3d
+        from otfusion_tpu.utils.torch_import import graft_torch_backbone
 
-        if depth is None:
+        spec = (backbone or "").lower()
+        if depth is None and (spec == "" or spec == "resnet3d"):
             raise ValueError(
                 "restoring from a torch .pth requires the backbone depth")
-        return graft_torch_resnet3d(state, backbone_ckpt_dir,
-                                    target_module, depth)
+        return graft_torch_backbone(state, backbone_ckpt_dir,
+                                    target_module, backbone=backbone,
+                                    depth=depth)
     directory = Path(backbone_ckpt_dir).resolve()
     _wait_dir(directory)
     ckptr = ocp.StandardCheckpointer()

@@ -1,17 +1,27 @@
 """Import reference-trained torch ``.pth`` weights into Flax states.
 
-The reference's best results load pretrained backbones via partial
-``state_dict`` grafts (``strict=False`` /intersect-keys semantics:
-Models/generate_model.py:112-125, MRI_PET_OT_OT_per_epoch_attn.py:509-511,
-fundus_swin_network.py:59-75). This module provides the TPU-side
-equivalent for the 3D ResNet family: read a torch checkpoint (CPU torch,
-baked into the image), convert layouts (OIDHW conv -> DHWIO, Linear
-transpose, BN weight/bias/running_* -> scale/bias/mean/var) and graft the
-intersecting, shape-matching subset into a Flax param tree — reporting
-what loaded and what was skipped, exactly the reference's partial-load
-behaviour.
+The reference loads pretrained weights for EVERY zoo family via partial
+``state_dict`` grafts (``strict=False`` / intersect-keys semantics):
+  * inline 3D ResNet: MRI_PET_OT_OT_per_epoch_attn.py:509-511
+  * MedicalNet dilated 3D ResNet: Models/generate_model.py:112-125
+  * Swin-2D ``swin_base_patch4_window12_384.pth``:
+    Models/fundus_swin_network.py:59-75 (official-Swin naming under a
+    ``['model']`` wrapper key)
+  * Res2Net-v1b model-zoo checkpoint: Models/res2net.py:233-234
+  * UNETR's MONAI ViT ``UNETR_model_best_acc.pth``: Models/unetr.py:67-70
+    (``vit.``-prefixed keys inside a full-UNETR state dict)
 
-Supported torch naming schemes (both used by the reference):
+This module provides the TPU-side equivalent for all of them: read a
+torch checkpoint (CPU torch, baked into the image), convert layouts
+(OIDHW/OIHW conv -> DHWIO/HWIO, Linear transpose, BN
+weight/bias/running_* -> scale/bias/mean/var, fused qkv -> flax
+MultiHeadDotProductAttention's per-head DenseGeneral kernels) and graft
+the intersecting, shape-matching subset into a Flax param tree —
+reporting what loaded and what was skipped, exactly the reference's
+partial-load behaviour.
+
+Supported inline-ResNet torch naming schemes (both used by the
+reference):
   * backbone:   stem.0 / stem.1, layer{1-4}.{i}.conv{1-3}/bn{1-3},
                 downsample.0/.1 (ResNet3D_Backbone, attn:483-545)
   * classifier: conv1 / bn1 + the same layer blocks + fc
@@ -160,6 +170,382 @@ def resnet3d_tree_from_torch(
     return params, stats
 
 
+# --- zoo converters (VERDICT r3 missing #1) ---------------------------------
+
+
+def _conv2d(sd, name):
+    w = sd.get(name + ".weight")
+    if w is None or w.ndim != 4:
+        return None
+    # torch Conv2d (O, I, kH, kW) -> flax (kH, kW, I, O)
+    return {"kernel": np.transpose(w, (2, 3, 1, 0))}
+
+
+def _linear(sd, name):
+    """torch nn.Linear -> flax nn.Dense (weight (out, in) -> kernel
+    (in, out))."""
+    w = sd.get(name + ".weight")
+    if w is None or w.ndim != 2:
+        return None
+    out = {"kernel": np.transpose(w)}
+    if name + ".bias" in sd:
+        out["bias"] = sd[name + ".bias"]
+    return out
+
+
+def _ln(sd, name):
+    if name + ".weight" not in sd:
+        return None
+    return {"scale": sd[name + ".weight"], "bias": sd[name + ".bias"]}
+
+
+def _merge_quadrant_perm(x: np.ndarray, axis: int = 0) -> np.ndarray:
+    """Reorder PatchMerging's 4C concat blocks from the official torch
+    order [x0, x1, x2, x3] = [(dh0,dw0), (dh1,dw0), (dh0,dw1), (dh1,dw1)]
+    (swin_transformer.py PatchMerging.forward) onto the flax module's
+    reshape order [(dh0,dw0), (dh0,dw1), (dh1,dw0), (dh1,dw1)] — i.e.
+    flax block j reads torch block [0, 2, 1, 3][j]."""
+    c = x.shape[axis] // 4
+    idx = np.concatenate([np.arange(0, c), np.arange(2 * c, 3 * c),
+                          np.arange(c, 2 * c), np.arange(3 * c, 4 * c)])
+    return np.take(x, idx, axis=axis)
+
+
+def _swin_depths_from_sd(sd) -> tuple:
+    import re
+
+    stages: Dict[int, int] = {}
+    for k in sd:
+        m = re.match(r"layers\.(\d+)\.(?:blocks\.(\d+)\.|downsample\.)", k)
+        if m:
+            s = int(m.group(1))
+            b = -1 if m.group(2) is None else int(m.group(2))
+            stages[s] = max(stages.get(s, 0), b + 1)
+    if not stages:
+        return ()
+    return tuple(stages.get(i, 0) for i in range(max(stages) + 1))
+
+
+def swin_tree_from_torch(
+    state_dict: Dict[str, np.ndarray],
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Map an official-Swin torch state dict (the
+    ``swin_base_patch4_window12_384.pth`` layout the reference loads,
+    fundus_swin_network.py:59-75) onto the Flax ``SwinTransformer2D``
+    tree. Stage depths are inferred from the keys, so any Swin size
+    converts. Skipped by construction: ``head.*`` (the reference's
+    intersect-keys load also drops it), ``attn_mask`` /
+    ``relative_position_index`` buffers (recomputed), APE if present.
+
+    The one non-transpose subtlety: the official PatchMerging
+    concatenates the 2x2 spatial quadrants in [(0,0),(1,0),(0,1),(1,1)]
+    order while the flax reshape produces [(0,0),(0,1),(1,0),(1,1)] —
+    the reduction kernel's input rows AND the pre-reduction LayerNorm
+    are permuted accordingly (_merge_quadrant_perm), which keeps the
+    forward exactly equivalent."""
+    sd = state_dict
+    params: Dict[str, Any] = {}
+
+    pe = _conv2d(sd, "patch_embed.proj")
+    if pe is not None:
+        if "patch_embed.proj.bias" in sd:
+            pe["bias"] = sd["patch_embed.proj.bias"]
+        params["patch_embed"] = pe
+    ln = _ln(sd, "patch_embed.norm")
+    if ln:
+        params["LayerNorm_0"] = ln
+
+    for stage, depth in enumerate(_swin_depths_from_sd(sd)):
+        for b in range(depth):
+            t = f"layers.{stage}.blocks.{b}"
+            blk: Dict[str, Any] = {}
+            for tn, fn in (("norm1", "LayerNorm_0"),
+                           ("norm2", "LayerNorm_1")):
+                e = _ln(sd, f"{t}.{tn}")
+                if e:
+                    blk[fn] = e
+            attn: Dict[str, Any] = {}
+            qkv = _linear(sd, f"{t}.attn.qkv")
+            if qkv:
+                attn["qkv"] = qkv
+            proj = _linear(sd, f"{t}.attn.proj")
+            if proj:
+                attn["proj"] = proj
+            table = sd.get(f"{t}.attn.relative_position_bias_table")
+            if table is not None:
+                # identical (2w-1)^2-row indexing on both sides
+                # (swin.py:_relative_position_index)
+                attn["relative_position_bias_table"] = table
+            if attn:
+                blk["WindowAttention_0"] = attn
+            fc1 = _linear(sd, f"{t}.mlp.fc1")
+            fc2 = _linear(sd, f"{t}.mlp.fc2")
+            if fc1:
+                blk["Dense_0"] = fc1
+            if fc2:
+                blk["Dense_1"] = fc2
+            if blk:
+                params[f"stage{stage}_block{b}"] = blk
+        t = f"layers.{stage}.downsample"
+        merge: Dict[str, Any] = {}
+        red = sd.get(t + ".reduction.weight")
+        if red is not None:
+            merge["Dense_0"] = {
+                "kernel": _merge_quadrant_perm(np.transpose(red), axis=0)}
+        ln = _ln(sd, t + ".norm")
+        if ln:
+            merge["LayerNorm_0"] = {
+                "scale": _merge_quadrant_perm(ln["scale"]),
+                "bias": _merge_quadrant_perm(ln["bias"]),
+            }
+        if merge:
+            params[f"merge{stage}"] = merge
+
+    ln = _ln(sd, "norm")
+    if ln:
+        params["norm"] = ln
+    return params, {}
+
+
+def medicalnet_tree_from_torch(
+    state_dict: Dict[str, np.ndarray],
+    depth: int,
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Map a MedicalNet ``.pth`` (Models/resnet.py naming: conv1/bn1,
+    layer{1-4}.{i}.conv{1-3}/bn{1-3}, downsample.0/.1) onto the Flax
+    ``MedicalNetResNet`` tree. Published MedicalNet checkpoints with
+    shortcut type 'A' simply carry no downsample tensors — the
+    intersect-keys graft loads what exists (generate_model.py:112-125
+    semantics). The segmentation head (``conv_seg``) is skipped by
+    construction."""
+    layers, kind = DEPTH_CONFIGS[depth]
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    stem = _conv(state_dict, "conv1")
+    if stem is not None:
+        params["Conv_0"] = stem
+    bn_p, bn_s = _bn(state_dict, "bn1")
+    if bn_p is not None:
+        params["BatchNorm_0"] = bn_p
+        stats["BatchNorm_0"] = bn_s
+
+    if kind == "basic":
+        block_cls = "MedicalBasicBlock"
+        conv_map = (("conv1", "_Conv3_0"), ("conv2", "_Conv3_1"))
+        bn_map = (("bn1", "BatchNorm_0"), ("bn2", "BatchNorm_1"))
+        ds_conv, ds_bn = "Conv_0", "BatchNorm_2"
+    else:
+        block_cls = "MedicalBottleneck"
+        conv_map = (("conv1", "Conv_0"), ("conv2", "_Conv3_0"),
+                    ("conv3", "Conv_1"))
+        bn_map = (("bn1", "BatchNorm_0"), ("bn2", "BatchNorm_1"),
+                  ("bn3", "BatchNorm_2"))
+        ds_conv, ds_bn = "Conv_2", "BatchNorm_3"
+
+    g = 0
+    for stage, n_blocks in enumerate(layers):
+        for i in range(n_blocks):
+            t = f"layer{stage + 1}.{i}"
+            bp: Dict[str, Any] = {}
+            bs: Dict[str, Any] = {}
+            for tn, fn in conv_map:
+                c = _conv(state_dict, f"{t}.{tn}")
+                if c is not None:
+                    bp[fn] = {"Conv_0": c} if fn.startswith("_Conv3") else c
+            for tn, fn in bn_map:
+                p_, s_ = _bn(state_dict, f"{t}.{tn}")
+                if p_ is not None:
+                    bp[fn] = p_
+                    bs[fn] = s_
+            c = _conv(state_dict, f"{t}.downsample.0")
+            if c is not None:
+                bp[ds_conv] = c
+            p_, s_ = _bn(state_dict, f"{t}.downsample.1")
+            if p_ is not None:
+                bp[ds_bn] = p_
+                bs[ds_bn] = s_
+            if bp:
+                params[f"{block_cls}_{g}"] = bp
+            if bs:
+                stats[f"{block_cls}_{g}"] = bs
+            g += 1
+    return params, stats
+
+
+def res2net_tree_from_torch(
+    state_dict: Dict[str, np.ndarray],
+    layers: tuple = (3, 4, 6, 3),
+    scale: int = 4,
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Map an official Res2Net-v1b torch state dict
+    (``res2net50_v1b_26w_4s-3cf99910.pth``, the file Models/res2net.py:
+    233-234 loads) onto the Flax ``Res2Net`` tree: deep stem
+    ``conv1.{0,3,6}`` + ``conv1.{1,4}``/``bn1`` BNs, per-block
+    ``conv1/bn1``, the ``convs.{j}``/``bns.{j}`` ModuleLists,
+    ``conv3/bn3``, and the v1b ``downsample.{1,2}`` (index 0 is the
+    parameter-free AvgPool). ``fc``/``avgpool`` are skipped by
+    construction (the flax backbone is headless)."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    for tn, fi in (("conv1.0", 0), ("conv1.3", 1), ("conv1.6", 2)):
+        c = _conv2d(state_dict, tn)
+        if c is not None:
+            params[f"Conv_{fi}"] = c
+    for tn, fi in (("conv1.1", 0), ("conv1.4", 1), ("bn1", 2)):
+        p_, s_ = _bn(state_dict, tn)
+        if p_ is not None:
+            params[f"BatchNorm_{fi}"] = p_
+            stats[f"BatchNorm_{fi}"] = s_
+
+    n_convs = scale - 1 if scale > 1 else 1
+    g = 0
+    for stage, n_blocks in enumerate(layers):
+        for i in range(n_blocks):
+            t = f"layer{stage + 1}.{i}"
+            bp: Dict[str, Any] = {}
+            bs: Dict[str, Any] = {}
+
+            def put_conv(tn, fi):
+                c = _conv2d(state_dict, tn)
+                if c is not None:
+                    bp[f"Conv_{fi}"] = c
+
+            def put_bn(tn, fi):
+                p_, s_ = _bn(state_dict, tn)
+                if p_ is not None:
+                    bp[f"BatchNorm_{fi}"] = p_
+                    bs[f"BatchNorm_{fi}"] = s_
+
+            put_conv(f"{t}.conv1", 0)
+            put_bn(f"{t}.bn1", 0)
+            for j in range(n_convs):
+                put_conv(f"{t}.convs.{j}", j + 1)
+                put_bn(f"{t}.bns.{j}", j + 1)
+            put_conv(f"{t}.conv3", n_convs + 1)
+            put_bn(f"{t}.bn3", n_convs + 1)
+            put_conv(f"{t}.downsample.1", n_convs + 2)
+            put_bn(f"{t}.downsample.2", n_convs + 2)
+            if bp:
+                params[f"Bottle2neck_{g}"] = bp
+            if bs:
+                stats[f"Bottle2neck_{g}"] = bs
+            g += 1
+    return params, stats
+
+
+def unetr_vit_tree_from_torch(
+    state_dict: Dict[str, np.ndarray],
+    heads: int = 12,
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Map a MONAI-ViT torch state dict (the reference's
+    ``UNETR_model_best_acc.pth`` is a full-UNETR dict whose encoder
+    lives under ``vit.``, Models/unetr.py:52-70) onto the Flax
+    ``UNETRViTEncoder`` tree. Decoder keys (``encoder*``/``decoder*``/
+    ``out.*``) fall outside the ``vit.`` prefix and are skipped by
+    construction; ``cls_token`` has no flax counterpart (the encoder
+    mean-pools, UNETR_base_3DNet.forward).
+
+    The fused ``attn.qkv`` Linear splits into the flax
+    MultiHeadDotProductAttention per-head DenseGeneral kernels: MONAI's
+    rearrange orders the fused dim [qkv][heads][head_dim]
+    (SABlock.input_rearrange), so q/k/v are contiguous thirds and each
+    reshapes (in, out) -> (in, heads, head_dim); ``attn.out_proj``
+    reshapes (in, out) -> (heads, head_dim, out) to match the
+    heads-major concat of ``out_rearrange``."""
+    sd = {}
+    for k, v in state_dict.items():
+        sd[k[len("vit."):] if k.startswith("vit.") else k] = v
+
+    params: Dict[str, Any] = {}
+    pe = (_linear(sd, "patch_embedding.patch_embeddings.1")
+          or _linear(sd, "patch_embedding.patch_embeddings"))
+    if pe is not None:
+        params["patch_embed"] = pe
+    pos = sd.get("patch_embedding.position_embeddings")
+    if pos is not None:
+        params["pos_embed"] = pos
+
+    i = 0
+    while True:
+        t = f"blocks.{i}"
+        if not any(k.startswith(t + ".") for k in sd):
+            break
+        blk: Dict[str, Any] = {}
+        for tn, fn in (("norm1", "LayerNorm_0"), ("norm2", "LayerNorm_1")):
+            e = _ln(sd, f"{t}.{tn}")
+            if e:
+                blk[fn] = e
+        attn: Dict[str, Any] = {}
+        qkv_w = sd.get(f"{t}.attn.qkv.weight")
+        if qkv_w is not None:
+            h = qkv_w.shape[1]
+            hd = h // heads
+            for name, w in zip(("query", "key", "value"),
+                               np.split(qkv_w, 3, axis=0)):
+                attn[name] = {"kernel": np.transpose(w).reshape(h, heads,
+                                                                hd)}
+            qkv_b = sd.get(f"{t}.attn.qkv.bias")
+            if qkv_b is not None:
+                for name, b in zip(("query", "key", "value"),
+                                   np.split(qkv_b, 3)):
+                    attn[name]["bias"] = b.reshape(heads, hd)
+        out_w = sd.get(f"{t}.attn.out_proj.weight")
+        if out_w is not None:
+            h = out_w.shape[0]
+            hd = h // heads
+            out = {"kernel": np.transpose(out_w).reshape(heads, hd, h)}
+            if f"{t}.attn.out_proj.bias" in sd:
+                out["bias"] = sd[f"{t}.attn.out_proj.bias"]
+            attn["out"] = out
+        if attn:
+            blk["MultiHeadDotProductAttention_0"] = attn
+        fc1 = _linear(sd, f"{t}.mlp.linear1")
+        fc2 = _linear(sd, f"{t}.mlp.linear2")
+        if fc1:
+            blk["Dense_0"] = fc1
+        if fc2:
+            blk["Dense_1"] = fc2
+        if blk:
+            params[f"block_{i}"] = blk
+        i += 1
+
+    ln = _ln(sd, "norm")
+    if ln:
+        params["LayerNorm_0"] = ln
+    return params, {}
+
+
+def backbone_tree_from_torch(
+    state_dict: Dict[str, np.ndarray],
+    backbone: str = "",
+    depth: int | None = None,
+    s2d_stem: bool = False,
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Dispatch a torch state dict to the right zoo converter by the
+    registry backbone spec (models/registry.py names; '' = the inline
+    ResNet3D at ``depth``)."""
+    spec = (backbone or "").lower()
+    if spec == "" or spec.startswith("resnet3d"):
+        d = int(spec.split("-")[1]) if spec.startswith("resnet3d-") \
+            else depth
+        if d is None:
+            raise ValueError(
+                "importing inline-ResNet3D .pth weights requires the "
+                "backbone depth")
+        return resnet3d_tree_from_torch(state_dict, d, s2d_stem=s2d_stem)
+    if spec.startswith("medicalnet-"):
+        return medicalnet_tree_from_torch(state_dict, int(spec.split("-")[1]))
+    if spec.startswith("swin"):
+        return swin_tree_from_torch(state_dict)
+    if spec.startswith("res2net"):
+        return res2net_tree_from_torch(state_dict)
+    if spec.startswith("unetr"):
+        return unetr_vit_tree_from_torch(state_dict)
+    raise ValueError(f"no torch .pth importer for backbone {backbone!r}")
+
+
 def _graft(dst: Dict[str, Any], src: Dict[str, Any], path, loaded, skipped):
     """Recursively copy src leaves into dst where the key exists and the
     shape matches (reference intersect-keys partial load,
@@ -180,21 +566,25 @@ def _graft(dst: Dict[str, Any], src: Dict[str, Any], path, loaded, skipped):
             loaded.append("/".join(where))
 
 
-def graft_torch_resnet3d(
+def graft_torch_backbone(
     state,
     pth_path: str | Path,
     target_module: str,
-    depth: int,
+    backbone: str = "",
+    depth: int | None = None,
     verbose: bool = True,
 ):
-    """Graft a reference ``.pth`` 3D-ResNet into ``state.params[
-    target_module]`` (e.g. "mri_backbone" / "backbone"). Returns the new
-    state; prints a loaded/skipped report like strict=False does not."""
+    """Graft a reference ``.pth`` backbone of ANY zoo family into
+    ``state.params[target_module]`` (e.g. "mri_backbone" / "backbone").
+    ``backbone`` is the registry spec ('' = inline ResNet3D at
+    ``depth``). Returns the new state; prints a loaded/skipped report
+    like strict=False does not."""
     import jax
 
     sd = load_torch_state_dict(pth_path)
     # Detect a space-to-depth-stem target from the model's own stem shape
-    # and rewrite the torch stem kernel onto it (lossless equivalence).
+    # and rewrite the torch stem kernel onto it (lossless equivalence;
+    # only the inline ResNet3D has an s2d variant).
     s2d = False
     try:
         dst_stem = state.params[target_module]["_ConvBN_0"]["Conv_0"][
@@ -202,7 +592,8 @@ def graft_torch_resnet3d(
         s2d = np.shape(dst_stem)[1:3] == (4, 4)
     except (KeyError, TypeError):
         pass
-    src_p, src_s = resnet3d_tree_from_torch(sd, depth, s2d_stem=s2d)
+    src_p, src_s = backbone_tree_from_torch(sd, backbone, depth=depth,
+                                            s2d_stem=s2d)
 
     # tree_map rebuilds every container, so in-place grafting below never
     # aliases the original state's trees.
@@ -227,5 +618,14 @@ def graft_torch_resnet3d(
     if not loaded:
         raise ValueError(
             f"no tensors from {pth_path} matched the {target_module} "
-            f"tree — wrong depth ({depth}) or architecture?")
+            f"tree — wrong backbone spec ({backbone or 'resnet3d'}"
+            f"{'' if depth is None else f' depth {depth}'})?")
     return state.replace(params=new_params, batch_stats=new_stats)
+
+
+def graft_torch_resnet3d(state, pth_path, target_module, depth,
+                         verbose=True):
+    """Back-compat alias: the inline-ResNet3D-only entry point from
+    round 2 (graft_torch_backbone generalises it to the whole zoo)."""
+    return graft_torch_backbone(state, pth_path, target_module,
+                                backbone="", depth=depth, verbose=verbose)
