@@ -85,6 +85,13 @@ def main():
     # lacked (hard_cohort_summary.md) and the one the flagship's OT
     # manifold alignment targets.
     ap.add_argument("--shared-severity", type=float, default=0.0)
+    # Study legs must be stem-homogeneous to merge (cohort_study_report
+    # pairs per-seed deltas across legs run in different rounds): the
+    # committed v2/v3 legs trained the plain stem, so the study keeps
+    # plain as ITS default even though fresh trainer runs now default to
+    # s2d (train/loop.py:_resolve_stem).
+    ap.add_argument("--s2d-stem", action=argparse.BooleanOptionalAction,
+                    default=False)
     ap.add_argument("--out-dir", default="examples/synthetic_demo")
     ap.add_argument("--keep-runs", default=None,
                     help="directory to keep run outputs (default: temp)")
@@ -141,7 +148,7 @@ def main():
                 class_names=table, model_depth=args.depth,
                 target_shape=shape, batch_size=8, lr=args.lr,
                 epochs=args.epochs, seed=seed, progress=False,
-                save_path=save,
+                save_path=save, s2d_stem=args.s2d_stem,
             )
             pretrained[modality] = os.path.join(save, "best_model")
             b = res["best_summary"]
@@ -162,7 +169,7 @@ def main():
             target_shape=shape, batch_size=8, lr=fusion_lr,
             epochs=fusion_epochs, seed=seed, max_jax_samples=16,
             gw_max_iterations=200, sinkhorn_max_iterations=200,
-            progress=False,
+            progress=False, s2d_stem=args.s2d_stem,
             mri_pretrained=pretrained["mri"],
             pet_pretrained=pretrained["pet"],
         )

@@ -111,3 +111,6 @@ def test_gw_cg_api(dicts):
 def test_pgd_alias(dicts):
     ts, _ = api.get_coupling_egw_pgd(dicts, eps=0.01)
     _check_ts_dict(ts, *dicts)
+
+# Quick verification profile: python -m pytest -m fast (CLAUDE.md)
+pytestmark = pytest.mark.fast

@@ -111,3 +111,6 @@ def test_generate_split_and_aggregate(tree, tmp_path):
     lines = out_csv.read_text().strip().split("\n")
     assert len(lines) == 2
     assert "0.9167" in lines[1] and "with_pretrain" in lines[1]
+
+# Quick verification profile: python -m pytest -m fast (CLAUDE.md)
+pytestmark = pytest.mark.fast

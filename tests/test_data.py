@@ -353,3 +353,6 @@ def test_loader_empty_host_block_yields_zero_rows(adni_tree):
     assert pet.shape == (0, 8, 8, 8, 1)
     assert labels.shape == (0,)
     assert labels.dtype == np.int32
+
+# Quick verification profile: python -m pytest -m fast (CLAUDE.md)
+pytestmark = pytest.mark.fast

@@ -1,5 +1,6 @@
 """Tests for FOT feature coupling + parity wrappers."""
 
+import pytest
 import numpy as np
 
 from otfusion_tpu.ops import fot, get_coupling_fot, mdict_to_matrix
@@ -81,3 +82,6 @@ def test_get_coupling_fot_dict_path(rng):
     ts[6:, 6:] = np.eye(8) / 8
     direct = fot(x, y, ts, epsilon=0.01)
     np.testing.assert_allclose(tv, np.asarray(direct.coupling), atol=1e-5)
+
+# Quick verification profile: python -m pytest -m fast (CLAUDE.md)
+pytestmark = pytest.mark.fast

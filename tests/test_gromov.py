@@ -1,5 +1,6 @@
 """Property + oracle tests for entropic Gromov-Wasserstein."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -126,3 +127,6 @@ def test_jittable(rng):
     t = np.asarray(fn(x, y))
     assert t.shape == (8, 8)
     np.testing.assert_allclose(t.sum(), 1.0, atol=1e-4)
+
+# Quick verification profile: python -m pytest -m fast (CLAUDE.md)
+pytestmark = pytest.mark.fast

@@ -212,3 +212,6 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(
         flat(restored.params["mri_backbone"]), uni_flat
     )
+
+# Quick verification profile: python -m pytest -m fast (CLAUDE.md)
+pytestmark = pytest.mark.fast

@@ -101,3 +101,6 @@ def test_depth_configs_cover_reference_table():
     assert DEPTH_CONFIGS[152][0] == (3, 8, 36, 3)
     assert DEPTH_CONFIGS[200][0] == (3, 24, 36, 3)
     assert feature_dim(101) == 2048
+
+# Quick verification profile: python -m pytest -m fast (CLAUDE.md)
+pytestmark = pytest.mark.fast

@@ -132,3 +132,6 @@ def test_no_gradient_through_solver(rng):
     t = sinkhorn(cost, epsilon=0.1, max_iterations=100,
                  threshold=1e-5).coupling
     np.testing.assert_allclose(np.asarray(grad), np.asarray(t), atol=1e-6)
+
+# Quick verification profile: python -m pytest -m fast (CLAUDE.md)
+pytestmark = pytest.mark.fast

@@ -1,6 +1,7 @@
 """Train/eval step tests: losses decrease, metrics sane, coupling service
 matches the dict-based reference pipeline."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -186,3 +187,6 @@ def test_cosine_loss_bounds(rng):
     assert float(cosine_alignment_loss(x, -x)) > 1.99
     zeros = jnp.zeros((5, 8))
     assert np.isfinite(float(cosine_alignment_loss(x, zeros)))
+
+# Quick verification profile: python -m pytest -m fast (CLAUDE.md)
+pytestmark = pytest.mark.fast
