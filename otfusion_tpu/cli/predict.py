@@ -75,6 +75,12 @@ def main(argv=None):
                         "has no optimiser moments, so the rewrite is "
                         "free); 'as-trained' keeps the checkpoint's "
                         "layout")
+    parser.add_argument("--fold-bn", action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help="Fold eval-mode BatchNorm into the conv "
+                        "kernels at load (exact — utils/checkpoint.py:"
+                        "fold_conv_bn_params); applies to inline-"
+                        "ResNet3D backbones")
     args = parser.parse_args(argv)
 
     from otfusion_tpu.cli.common import apply_device_flag
@@ -89,8 +95,22 @@ def main(argv=None):
                                           _VolumeCache, feed_dtype_for)
     from otfusion_tpu.metrics.classification import classification_metrics
     from otfusion_tpu.train.train_state import create_train_state
-    from otfusion_tpu.utils.checkpoint import (restore_checkpoint,
+    from otfusion_tpu.utils.checkpoint import (fold_conv_bn_params,
+                                               restore_checkpoint,
                                                rewrite_stem_params)
+
+    def _fold(state, module_names):
+        # Inference-only BN fold: exact in eval mode, removes every BN
+        # scale/shift op from the serving graph. The folded params match
+        # the fold_bn=True model's biased-conv layout.
+        params = dict(state.params)
+        stats = dict(state.batch_stats)
+        for name in module_names:
+            params[name] = fold_conv_bn_params(params[name],
+                                               stats.pop(name, {}))
+        print("Serving with BatchNorm folded into the conv kernels "
+              "(--no-fold-bn disables)")
+        return state.replace(params=params, batch_stats=stats)
 
     def _graft_s2d(state, s2d_state, module_names):
         # Serve-time plain->s2d stem rewrite: graft every backbone's
@@ -171,7 +191,7 @@ def main(argv=None):
                        and target_shape[1] % 2 == 0
                        and target_shape[2] % 2 == 0)
 
-        def _build(s2d):
+        def _build(s2d, fold=False):
             return MultimodalOTFusion(
                 num_classes=num_classes,
                 depth=int(cfg["model_depth"]),
@@ -182,6 +202,7 @@ def main(argv=None):
                 pet_backbone=cfg.get("pet_backbone", ""),
                 s2d_stem=s2d,
                 raw_plan=bool(cfg.get("raw_plan", False)),
+                fold_bn=fold,
                 dtype=dtype,
             )
 
@@ -212,6 +233,15 @@ def main(argv=None):
             )
             state = _graft_s2d(state, s2d_state,
                                ("mri_backbone", "pet_backbone"))
+        # BN fold covers exactly the inline-ResNet3D backbones (registry
+        # families interleave shortcut BNs — see fold_conv_bn_params).
+        fold_mods = tuple(
+            m for m, spec in (("mri_backbone", cfg.get("mri_backbone")),
+                              ("pet_backbone", cfg.get("pet_backbone")))
+            if not spec)
+        if args.fold_bn and fold_mods:
+            model = _build(cfg_s2d or s2d_rewrite, fold=True)
+            state = _fold(state, fold_mods)
         eval_step = make_fusion_eval_step(model)
 
         def run_batch(batch):
@@ -255,6 +285,12 @@ def main(argv=None):
             s2d_state = create_train_state(model, jax.random.key(0),
                                            (jnp.asarray(vol0[:1]),), 1e-3)
             state = _graft_s2d(state, s2d_state, ("backbone",))
+        if args.fold_bn:
+            model = ResNet3DClassifier(
+                depth=int(cfg["model_depth"]), num_classes=num_classes,
+                s2d_stem=cfg_s2d or s2d_rewrite, fold_bn=True, dtype=dtype,
+            )
+            state = _fold(state, ("backbone",))
         eval_step = make_unimodal_eval_step(model)
 
         def run_batch(batch):

@@ -69,16 +69,19 @@ class _FusionMLP(nn.Module):
 
 
 def build_fusion_backbone(spec: str, depth: int, dtype, name=None,
-                          remat: bool = False, s2d_stem: bool = False):
+                          remat: bool = False, s2d_stem: bool = False,
+                          fold_bn: bool = False):
     """Construct a fusion-side backbone from its registry spec (empty =
     the reference's ResNet3D at ``depth``). Free function so callers
     outside a module scope (feature extraction, shape probing) can build
-    unparented instances."""
+    unparented instances. ``fold_bn`` serves the inline ResNet3D with BN
+    folded into the conv kernels (inference-only; registry backbones
+    ignore it)."""
     from otfusion_tpu.models.registry import build_backbone
 
     if not spec:
         return ResNet3DBackbone(depth, remat=remat, s2d_stem=s2d_stem,
-                                dtype=dtype, name=name)
+                                fold_bn=fold_bn, dtype=dtype, name=name)
     return build_backbone(spec, dtype=dtype, name=name)
 
 
@@ -109,12 +112,16 @@ class MultimodalOTFusion(nn.Module):
     # ops/fot.py:apply_feature_coupling and PARITY.md §"behavioural
     # deviations").
     raw_plan: bool = False
+    # inference-only BN folding for the default ResNet3D backbones (see
+    # resnet3d.py:_ConvBN.fold_bn)
+    fold_bn: bool = False
     dtype: Any = jnp.float32
 
     def _make_backbone(self, name_attr: str, module_name: str):
         return build_fusion_backbone(
             getattr(self, name_attr), self.depth, self.dtype,
             name=module_name, remat=self.remat, s2d_stem=self.s2d_stem,
+            fold_bn=self.fold_bn,
         )
 
     @nn.compact

@@ -112,19 +112,30 @@ class _ConvBN(nn.Module):
     kernel: Sequence[int]
     strides: Sequence[int] = (1, 1, 1)
     padding: Any = "SAME"
+    # Inference-only: the BN affine+stats are folded into the conv
+    # kernel/bias at checkpoint load (utils/checkpoint.py:
+    # fold_conv_bn_params — exact in eval mode), so the module is a
+    # single biased conv. Serving surface (cli/predict.py --fold-bn).
+    fold_bn: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
+        if self.fold_bn and train:
+            raise ValueError(
+                "fold_bn is inference-only: training needs live BN "
+                "batch statistics")
         x = nn.Conv(
             self.features,
             kernel_size=tuple(self.kernel),
             strides=tuple(self.strides),
             padding=self.padding,
-            use_bias=False,
+            use_bias=self.fold_bn,
             kernel_init=_conv_init,
             dtype=self.dtype,
         )(x)
+        if self.fold_bn:
+            return x
         # BN output follows the compute dtype: statistics/params are f32
         # regardless (flax upcasts internally), but emitting the result
         # in bf16 keeps the relu/residual/remat activations half-width —
@@ -143,17 +154,21 @@ class BasicBlock3D(nn.Module):
 
     planes: int
     stride: int = 1
+    fold_bn: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
         s = (self.stride,) * 3
         identity = x
-        out = _ConvBN(self.planes, (3, 3, 3), s, dtype=self.dtype)(x, train)
+        out = _ConvBN(self.planes, (3, 3, 3), s, fold_bn=self.fold_bn,
+                      dtype=self.dtype)(x, train)
         out = nn.relu(out)
-        out = _ConvBN(self.planes, (3, 3, 3), dtype=self.dtype)(out, train)
+        out = _ConvBN(self.planes, (3, 3, 3), fold_bn=self.fold_bn,
+                      dtype=self.dtype)(out, train)
         if self.stride != 1 or x.shape[-1] != self.planes:
-            identity = _ConvBN(self.planes, (1, 1, 1), s, dtype=self.dtype)(
+            identity = _ConvBN(self.planes, (1, 1, 1), s,
+                               fold_bn=self.fold_bn, dtype=self.dtype)(
                 x, train
             )
         return nn.relu(out + identity)
@@ -165,6 +180,7 @@ class Bottleneck3D(nn.Module):
 
     planes: int
     stride: int = 1
+    fold_bn: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -172,13 +188,17 @@ class Bottleneck3D(nn.Module):
         s = (self.stride,) * 3
         out_ch = self.planes * 4
         identity = x
-        out = _ConvBN(self.planes, (1, 1, 1), dtype=self.dtype)(x, train)
+        out = _ConvBN(self.planes, (1, 1, 1), fold_bn=self.fold_bn,
+                      dtype=self.dtype)(x, train)
         out = nn.relu(out)
-        out = _ConvBN(self.planes, (3, 3, 3), s, dtype=self.dtype)(out, train)
+        out = _ConvBN(self.planes, (3, 3, 3), s, fold_bn=self.fold_bn,
+                      dtype=self.dtype)(out, train)
         out = nn.relu(out)
-        out = _ConvBN(out_ch, (1, 1, 1), dtype=self.dtype)(out, train)
+        out = _ConvBN(out_ch, (1, 1, 1), fold_bn=self.fold_bn,
+                      dtype=self.dtype)(out, train)
         if self.stride != 1 or x.shape[-1] != out_ch:
-            identity = _ConvBN(out_ch, (1, 1, 1), s, dtype=self.dtype)(
+            identity = _ConvBN(out_ch, (1, 1, 1), s, fold_bn=self.fold_bn,
+                               dtype=self.dtype)(
                 x, train
             )
         return nn.relu(out + identity)
@@ -206,6 +226,9 @@ class ResNet3DBackbone(nn.Module):
     # pretrained-weight parity survives); trained from scratch the extra
     # taps are free parameters. Opt-in (docs/perf_notes.md lever #1).
     s2d_stem: bool = False
+    # Inference-only: serve with BN folded into the conv kernels (see
+    # _ConvBN.fold_bn; params must come from fold_conv_bn_params).
+    fold_bn: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -224,6 +247,7 @@ class ResNet3DBackbone(nn.Module):
                 (3, 4, 4),
                 (1, 1, 1),
                 padding=((1, 1), (2, 1), (2, 1)),
+                fold_bn=self.fold_bn,
                 dtype=self.dtype,
             )(x, train)
         else:
@@ -232,6 +256,7 @@ class ResNet3DBackbone(nn.Module):
                 (3, 7, 7),
                 (1, 2, 2),
                 padding=((1, 1), (3, 3), (3, 3)),
+                fold_bn=self.fold_bn,
                 dtype=self.dtype,
             )(x, train)
         x = nn.relu(x)
@@ -247,7 +272,8 @@ class ResNet3DBackbone(nn.Module):
         ):
             for i in range(n_blocks):
                 stride = 2 if (stage > 0 and i == 0) else 1
-                x = block(planes, stride, dtype=self.dtype)(x, train)
+                x = block(planes, stride, fold_bn=self.fold_bn,
+                          dtype=self.dtype)(x, train)
 
         # Global average pool over (D, H, W).
         x = jnp.mean(x, axis=(1, 2, 3))
@@ -261,11 +287,13 @@ class ResNet3DClassifier(nn.Module):
     depth: int = 50
     num_classes: int = 2
     s2d_stem: bool = False
+    fold_bn: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         feats = ResNet3DBackbone(self.depth, s2d_stem=self.s2d_stem,
+                                 fold_bn=self.fold_bn,
                                  dtype=self.dtype, name="backbone")(
             x, train
         )

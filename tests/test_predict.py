@@ -70,8 +70,12 @@ def test_flagship_predict_matches_checkpoint_eval(tmp_path):
     from otfusion_tpu.utils.checkpoint import restore_checkpoint
 
     tv = jnp.asarray(np.load(run_dir / "t_feature.npy"))
+    # fresh trainings default to the s2d stem (round 4) — the direct
+    # eval must build the recorded layout or restore shape-mismatches
+    assert cfg.get("s2d_stem") is True
     model = MultimodalOTFusion(num_classes=2, depth=10,
-                               variant="per_epoch_attn")
+                               variant="per_epoch_attn",
+                               s2d_stem=bool(cfg["s2d_stem"]))
     from otfusion_tpu.data.loader import MultimodalLoader
 
     loader = MultimodalLoader(ds.samples, (8, 8, 8), 4, shuffle=False)
