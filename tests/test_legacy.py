@@ -1,6 +1,7 @@
 """Legacy RIMA/GAMMA path tests (tiny shapes)."""
 
 import jax
+from pathlib import Path
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -109,3 +110,96 @@ def test_evaluate_ensemble(rng):
     assert m["accuracy"] > 0.8
     for key in ("f1", "kappa", "auc", "ens_ece", "ens_nll", "ens_brier"):
         assert np.isfinite(m[key])
+
+
+class _Args:
+    pass
+
+
+def test_multimodal_filelist_dataset(tmp_path):
+    """Reference Multi_modal_data (data_gamma.py:72-192) parity: file-list
+    driven .npy loads, /255 scaling, transformer resizes, the noise
+    conditions including the upstream Gaussian-zeroing bug, and the
+    per-item deterministic RNG quirk."""
+    from otfusion_tpu.data.gamma import MultiModalFileListDataset
+
+    rng = np.random.default_rng(0)
+    folder = tmp_path / "folder0"
+    folder.mkdir()
+    n = 3
+    fun_paths, oct_paths, labels = [], [], []
+    for i in range(n):
+        fun = (rng.uniform(0, 255, size=(3, 20, 24))).astype(np.float32)
+        octv = (rng.uniform(0, 255, size=(10, 12, 14))).astype(np.float32)
+        fp, op = tmp_path / f"fun{i}.npy", tmp_path / f"oct{i}.npy"
+        np.save(fp, fun)
+        np.save(op, octv)
+        fun_paths.append(str(fp))
+        oct_paths.append(str(op))
+        labels.append(i % 2)
+    (folder / "train_FUN.txt").write_text("\n".join(fun_paths) + "\n")
+    (folder / "train_OCT.txt").write_text("\n".join(oct_paths) + "\n")
+    (folder / "train_GT.txt").write_text(
+        "\n".join(str(v) for v in labels) + "\n")
+
+    ds = MultiModalFileListDataset(str(tmp_path) + "/", 2, ["FUN", "OCT"],
+                                   "train")
+    assert len(ds) == n
+    data, y = ds[1]
+    assert y == labels[1]
+    # cnn base: raw shapes survive, both modalities /255-scaled
+    assert data[0].shape == (3, 20, 24)
+    assert data[1].shape == (1, 10, 12, 14)
+    assert 0.0 <= data[0].max() <= 1.0 and 0.0 <= data[1].max() <= 1.0
+    np.testing.assert_allclose(
+        data[0], np.load(fun_paths[1]).astype(np.float32) / 255.0)
+
+    # transformer base: fundus 384x384 bicubic, OCT order-0 zoom to 96^3
+    ds_t = MultiModalFileListDataset(str(tmp_path) + "/", 2,
+                                     ["FUN", "OCT"], "train",
+                                     model_base="transformer")
+    data_t, _ = ds_t[0]
+    assert data_t[0].shape == (3, 384, 384)
+    assert data_t[1].shape == (1, 96, 96, 96)
+
+    # SaltPepper condition: deterministic per item (global-seed quirk
+    # reproduced without touching the global RNG) and actually scatters
+    ds_sp = MultiModalFileListDataset(
+        str(tmp_path) + "/", 2, ["FUN", "OCT"], "train",
+        condition="noise", condition_name="SaltPepper", seed_idx=7,
+        sp_variance=0.1)
+    a0, _ = ds_sp[0]
+    a1, _ = ds_sp[0]
+    np.testing.assert_array_equal(a0[0], a1[0])
+    clean = np.load(fun_paths[0]).astype(np.float32) / 255.0
+    assert ((a0[0] == 1.0) | (a0[0] == 0.0)).any()
+    assert not np.allclose(a0[0], clean)
+
+    # Gaussian condition: the upstream zeroing bug is reproduced verbatim
+    ds_g = MultiModalFileListDataset(
+        str(tmp_path) + "/", 2, ["FUN", "OCT"], "train",
+        condition="noise", condition_name="Gaussian")
+    g0, _ = ds_g[0]
+    np.testing.assert_array_equal(g0[0], np.zeros_like(g0[0]))
+
+    # default noise arm: additive gaussian + CHW salt-pepper, clipped
+    ds_n = MultiModalFileListDataset(
+        str(tmp_path) + "/", 2, ["FUN", "OCT"], "train",
+        condition="noise", g_variance=0.05, sp_variance=0.05)
+    n0, _ = ds_n[0]
+    assert n0[0].min() >= 0.0 and n0[0].max() <= 1.0
+    assert not np.allclose(n0[0], clean)
+
+    # path_map generalises the reference's hardcoded prefix rewrite
+    moved = tmp_path / "moved"
+    moved.mkdir()
+    for p in fun_paths + oct_paths:
+        (moved / Path(p).name).write_bytes(Path(p).read_bytes())
+    (folder / "train_FUN.txt").write_text(
+        "\n".join("E:/old/" + Path(p).name for p in fun_paths) + "\n")
+    ds_m = MultiModalFileListDataset(
+        str(tmp_path) + "/", 1, ["FUN"], "train",
+        path_map=("E:/old/", str(moved) + "/"))
+    m0, _ = ds_m[2]
+    np.testing.assert_allclose(
+        m0[0], np.load(fun_paths[2]).astype(np.float32) / 255.0)
