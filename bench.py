@@ -122,12 +122,16 @@ def bench_coupling():
 
 
 def bench_train_step(depth=101, batch=8, side=128,
-                     variant="per_epoch_attn", s2d_stem=False):
+                     variant="per_epoch_attn", s2d_stem=False,
+                     grad_accum=1, remat=False):
     """Fusion train step at the production shape — flagship
     (per_epoch_attn: 3-token OT-attention, dual ResNet backbones, bf16)
     by default; ``variant="base"`` times the IN-STEP per-batch FOT solve
     the reference pays a host round-trip for (MRI_PET_OT.py:667-697);
-    ``s2d_stem=True`` times the space-to-depth stem (perf_notes lever 1).
+    ``s2d_stem=True`` times the space-to-depth stem (perf_notes lever 1);
+    ``grad_accum=2, remat=True, batch=16`` times the effective-B16
+    configuration the round-4 probe battery unblocked (perf_notes
+    lever 3 — the non-accum batch ceiling sits between 8 and 12).
     Returns (step_seconds, samples_per_s, mfu, flops_per_step)."""
     import jax
     import jax.numpy as jnp
@@ -142,7 +146,7 @@ def bench_train_step(depth=101, batch=8, side=128,
     # 2026-08 on a quiet chip) and is only needed at larger batches.
     model = MultimodalOTFusion(
         num_classes=2, depth=depth, variant=variant,
-        dtype=jnp.bfloat16, remat=False, s2d_stem=s2d_stem,
+        dtype=jnp.bfloat16, remat=remat, s2d_stem=s2d_stem,
     )
     d = feature_dim(depth)
     rng = np.random.default_rng(1)
@@ -154,13 +158,18 @@ def bench_train_step(depth=101, batch=8, side=128,
     state = create_train_state(model, jax.random.key(0), (mri, pet), 1e-4,
                                t_feature=tv)
     step = make_fusion_train_step(model, donate=True,
-                                  in_batch_fot=(variant == "base"))
+                                  in_batch_fot=(variant == "base"),
+                                  grad_accum=grad_accum)
     key = jax.random.key(1)
 
     # Analytic FLOPs from XLA's own cost model of the lowered step
-    # (covers fwd+bwd+remat+optimiser — exactly what runs).
+    # (covers fwd+bwd+remat+optimiser — exactly what runs). Skipped for
+    # grad-accum configs: the non-donated twin would pay a second long
+    # server-side compile for a number the plain row already supplies.
     flops = None
     try:
+        if grad_accum > 1:
+            raise RuntimeError("skipped for grad-accum (see comment)")
         cost = jax.jit(
             make_fusion_train_step(model, donate=False,
                                    in_batch_fot=(variant == "base"))
@@ -194,7 +203,9 @@ def bench_train_step(depth=101, batch=8, side=128,
                 1.97e14)
     mfu = (flops / step_s / peak) if flops else None
     print(
-        f"# train step {variant}{' s2d' if s2d_stem else ''} depth{depth} "
+        f"# train step {variant}{' s2d' if s2d_stem else ''}"
+        f"{f' accum{grad_accum}' if grad_accum > 1 else ''}"
+        f"{' remat' if remat else ''} depth{depth} "
         f"B{batch} @{side}^3 bf16: "
         f"{step_s*1000:.0f} ms | {batch/step_s:.2f} samples/s | "
         f"flops/step={flops and f'{flops:.3e}'} | "
@@ -316,6 +327,18 @@ def main():
         except Exception as e:
             print(f"# base-step bench failed: {e}", file=sys.stderr)
             extra["base_step_error"] = str(e)[:200]
+        # Effective-B16 via gradient accumulation (perf_notes lever 3,
+        # unblocked round 4): --grad-accum 2 --remat compiles where the
+        # single-copy B16 body HTTP-500s, and runs at plain-B8
+        # throughput with double the effective batch.
+        try:
+            step_s, sps, _, _ = bench_train_step(
+                batch=16, grad_accum=2, remat=True, s2d_stem=True)
+            extra["train_step_b16_accum2_ms"] = round(step_s * 1000, 1)
+            extra["train_samples_per_s_b16_accum2"] = round(sps, 2)
+        except Exception as e:
+            print(f"# B16 grad-accum bench failed: {e}", file=sys.stderr)
+            extra["train_step_b16_accum2_error"] = str(e)[:200]
         # Forward-only serving step (cli/predict.py's per-batch cost).
         # predict serves plain-stem checkpoints through the losslessly
         # rewritten s2d stem by default (--stem auto) — report that

@@ -267,13 +267,25 @@ class ResNet3DBackbone(nn.Module):
             padding=((0, 0), (1, 1), (1, 1)),
         )
 
+        # Blocks carry EXPLICIT names matching the plain path's historic
+        # auto-names: flax's lifted nn.remat renames auto-named children
+        # (BasicBlock3D_0 -> CheckpointBasicBlock3D_0), which would fork
+        # the param tree on the remat flag and silently break --resume /
+        # pretrained grafts / predict-time restores across a remat
+        # toggle (tests/test_grad_accum.py::
+        # test_grad_accum_composes_with_remat covers the equivalence).
+        base_name = BasicBlock3D.__name__ if kind == "basic" \
+            else Bottleneck3D.__name__
+        idx = 0
         for stage, (planes, n_blocks) in enumerate(
             zip((64, 128, 256, 512), layers)
         ):
             for i in range(n_blocks):
                 stride = 2 if (stage > 0 and i == 0) else 1
                 x = block(planes, stride, fold_bn=self.fold_bn,
-                          dtype=self.dtype)(x, train)
+                          dtype=self.dtype,
+                          name=f"{base_name}_{idx}")(x, train)
+                idx += 1
 
         # Global average pool over (D, H, W).
         x = jnp.mean(x, axis=(1, 2, 3))

@@ -255,6 +255,30 @@ def load_metadata(directory: str | Path) -> Dict[str, Any] | None:
     return None
 
 
+_LEGACY_REMAT_NAMES = ("CheckpointBasicBlock3D_", "CheckpointBottleneck3D_")
+
+
+def _migrate_legacy_remat_names(tree):
+    """Strip flax's lifted-transform name prefix from ResNet3D block keys
+    saved by pre-round-4 ``remat=True`` runs.
+
+    ``ResNet3DBackbone`` now names its blocks explicitly so the param
+    tree no longer forks on the remat flag (models/resnet3d.py), but
+    checkpoints written while the blocks were auto-named under
+    ``nn.remat`` carry ``CheckpointBasicBlock3D_N`` /
+    ``CheckpointBottleneck3D_N`` keys. This renames them to the stable
+    ``BasicBlock3D_N`` / ``Bottleneck3D_N`` layout (values unchanged —
+    the lifted transform never altered the parameters themselves)."""
+    if not isinstance(tree, dict):
+        return tree
+    out = {}
+    for k, v in tree.items():
+        if isinstance(k, str) and k.startswith(_LEGACY_REMAT_NAMES):
+            k = k[len("Checkpoint"):]
+        out[k] = _migrate_legacy_remat_names(v)
+    return out
+
+
 def restore_checkpoint(directory: str | Path, state,
                        include_opt_state: bool = False):
     """Restore params/batch_stats (and optionally opt_state/step) into
@@ -269,7 +293,18 @@ def restore_checkpoint(directory: str | Path, state,
     if include_opt_state:
         target["opt_state"] = _to_host(state.opt_state)
         target["step"] = np.asarray(state.step)
-    restored = ckptr.restore(directory, target)
+    try:
+        restored = ckptr.restore(directory, target)
+    except Exception:
+        # Pre-round-4 remat checkpoints: retry via a raw restore with the
+        # lifted block names migrated; re-raise the original failure if
+        # the tree still doesn't line up (genuine mismatch).
+        raw = _migrate_legacy_remat_names(ckptr.restore(directory))
+        for key in target:
+            if (jax.tree_util.tree_structure(raw.get(key))
+                    != jax.tree_util.tree_structure(target[key])):
+                raise
+        restored = raw
     state = state.replace(
         params=restored["params"], batch_stats=restored["batch_stats"]
     )
@@ -317,6 +352,7 @@ def restore_backbone(
     _wait_dir(directory)
     ckptr = ocp.StandardCheckpointer()
     restored = ckptr.restore(directory)  # raw pytree, no target
+    restored = _migrate_legacy_remat_names(restored)
     src_params = rewrite_stem_params(
         restored["params"][source_module], state.params[target_module])
     new_params = dict(state.params)

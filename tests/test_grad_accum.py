@@ -174,3 +174,49 @@ def test_dp_fusion_grad_accum_over_mesh(rng):
     _tree_allclose(s_dp.opt_state, s_single.opt_state,
                    atol=5e-3, rtol=0.1, leaf_scaled=True)
     _tree_allclose(s_dp.params, s_single.params, atol=3e-3)
+
+
+def test_grad_accum_composes_with_remat(rng):
+    """The effective-B16 production config is ``--grad-accum 2 --remat``
+    (docs/perf_notes.md lever 3: remat shrinks the live microbatch
+    activations enough that the accumulation scan's gradient-sized
+    accumulator fits where the non-remat structure OOMs server-side).
+    Rematerialisation recomputes the same values, so the accum step must
+    produce the same training math with remat on.
+
+    Two RNG-stream caveats shape the test: flax's lifted ``nn.remat``
+    transform changes the init AND dropout key derivations inside the
+    wrapped blocks (same param tree structure, different draws), so the
+    state is created ONCE from the plain model and shared (the trainers'
+    ``--resume`` does exactly this when toggling ``--remat``), and
+    projection dropout is off so the comparison is value-equivalence,
+    not dropout-mask equivalence."""
+    model_kwargs = dict(num_classes=2, depth=10, variant="per_epoch_attn",
+                        projection_dropout=0.0)
+    mri = jnp.asarray(rng.normal(size=(4, 8, 8, 8, 1)), jnp.float32)
+    pet = jnp.asarray(rng.normal(size=(4, 8, 8, 8, 1)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 2, size=4))
+    from otfusion_tpu.models.resnet3d import feature_dim
+
+    d = feature_dim(10)
+    tv = jnp.full((d, d), 1.0 / (d * d), jnp.float32)
+    state0 = create_train_state(
+        MultimodalOTFusion(remat=False, **model_kwargs),
+        jax.random.key(0), (mri, pet), 1e-3, optimizer="adamw",
+        t_feature=tv)
+    results = {}
+    for remat in (False, True):
+        model = MultimodalOTFusion(remat=remat, **model_kwargs)
+        step = make_fusion_train_step(model, donate=False, grad_accum=2)
+        new_state, metrics = step(state0, mri, pet, labels, tv,
+                                  jax.random.key(1))
+        results[remat] = (new_state, metrics)
+    s_plain, m_plain = results[False]
+    s_remat, m_remat = results[True]
+    assert np.isfinite(float(m_remat["loss"]))
+    # identical params + identical forward math -> loss matches to fp
+    # noise; params after one update match loosely (remat reassociates
+    # the backward reductions)
+    np.testing.assert_allclose(float(m_remat["loss"]),
+                               float(m_plain["loss"]), rtol=1e-5)
+    _tree_allclose(s_remat.params, s_plain.params, atol=3e-3)

@@ -215,3 +215,64 @@ def test_fresh_run_defaults_s2d_and_resume_keeps_plain(tmp_path):
                                 **{**common, "epochs": 2})
     assert np.isfinite(res["best_val_loss"])
     assert json.load(open(plain / "model_config.json"))["s2d_stem"] is False
+
+
+def test_legacy_remat_checkpoint_restores():
+    """Checkpoints written by pre-round-4 ``remat=True`` runs carry
+    flax's lifted block names (``CheckpointBasicBlock3D_N``); since the
+    blocks are now explicitly named (models/resnet3d.py) the restore
+    path migrates those keys back (`utils/checkpoint.py:
+    _migrate_legacy_remat_names`) instead of failing the tree match."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from flax.training import train_state as ts
+
+    from otfusion_tpu.models.resnet3d import ResNet3DClassifier
+    from otfusion_tpu.utils.checkpoint import (
+        _migrate_legacy_remat_names,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    class _TS(ts.TrainState):
+        batch_stats: dict = None
+
+    model = ResNet3DClassifier(num_classes=2, depth=10)
+    x = jnp.zeros((1, 8, 8, 8, 1), jnp.float32)
+    variables = model.init(jax.random.key(0), x, train=False)
+    state = _TS.create(
+        apply_fn=model.apply, params=variables["params"],
+        tx=optax.sgd(1e-3), batch_stats=variables["batch_stats"])
+
+    def legacyize(tree):
+        if not isinstance(tree, dict):
+            return tree
+        return {("Checkpoint" + k if k.startswith(("BasicBlock3D_",
+                                                    "Bottleneck3D_"))
+                 else k): legacyize(v) for k, v in tree.items()}
+
+    legacy_params = legacyize(jax.device_get(state.params))
+    assert any(k.startswith("CheckpointBasicBlock3D_")
+               for k in legacy_params["backbone"])
+    # round-trips back to the modern layout
+    migrated = _migrate_legacy_remat_names(legacy_params)
+    assert (jax.tree_util.tree_structure(migrated)
+            == jax.tree_util.tree_structure(jax.device_get(state.params)))
+
+    legacy_state = state.replace(
+        params=legacy_params,
+        batch_stats=legacyize(jax.device_get(state.batch_stats)))
+    with tempfile.TemporaryDirectory() as tmp:
+        d = f"{tmp}/best_model"
+        save_checkpoint(d, legacy_state, block=True)
+        restored = restore_checkpoint(d, state)
+    chex = jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        restored.params, jax.device_get(state.params))
+    del chex
+    assert any(k.startswith("BasicBlock3D_")
+               for k in restored.params["backbone"])
