@@ -50,6 +50,18 @@ def split(n, seed, val_fraction=0.25):
                             val_fraction, seed)
 
 
+def _write_csv(out_dir, rows):
+    os.makedirs(out_dir, exist_ok=True)
+    csv_path = os.path.join(out_dir, "hard_cohort_results.csv")
+    tmp_path = csv_path + ".tmp"
+    with open(tmp_path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(SCHEMA)
+        w.writerows(rows)
+    os.replace(tmp_path, csv_path)
+    return csv_path
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=5)
@@ -189,12 +201,13 @@ def main():
             print(f"seed {seed} {setup}: val_acc={b['val_acc']:.4f} "
                   f"f1={b['f1']:.4f}", flush=True)
 
-    os.makedirs(args.out_dir, exist_ok=True)
-    csv_path = os.path.join(args.out_dir, "hard_cohort_results.csv")
-    with open(csv_path, "w", newline="") as f:
-        w = csv.writer(f)
-        w.writerow(SCHEMA)
-        w.writerows(rows)
+        # Crash-durable sweep: rewrite the CSV after every completed
+        # seed so a wall-clock kill loses at most the in-flight seed
+        # (scripts/harvest_cohort_runs.py can still rebuild rows from
+        # the run dirs if even this write never happened).
+        _write_csv(args.out_dir, rows)
+
+    csv_path = _write_csv(args.out_dir, rows)
 
     def mean_acc(setup, modality=None):
         vals = [float(r[9]) for r in rows if r[0] == setup
