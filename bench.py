@@ -25,6 +25,7 @@ step numbers ride along in "extra" (train_step_ms / samples_per_s / mfu).
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -280,112 +281,115 @@ def bench_infer_step(depth=101, batch=8, side=128, s2d_stem=False,
     return step_s, batch / step_s
 
 
+def bench_epoch(data_dir=None, epochs=2):
+    """One REAL flagship training epoch at the production shape — the
+    north-star unit (BASELINE.json counts EPOCH time, not step time):
+    64 pairs @128^3, depth-101, B8, s2d stem, bf16 feed, prefetch on,
+    per-epoch EGW/FOT coupling, eval pass, checkpointing — i.e. exactly
+    what run_fusion_training pays per epoch (MRI_PET_OT.py:1066-1112
+    epoch structure). Trains ``epochs`` epochs and reports the LAST
+    epoch's wall seconds (the first carries compile + cold page cache).
+    Returns (epoch_s, samples_per_s, phase_seconds dict).
+
+    The synthetic cohort is generated once into a persistent cache dir
+    (~2 GB of 128^3 NIfTI pairs) and reused across runs."""
+    import tempfile
+
+    from otfusion_tpu.data import make_synthetic_adni
+    from otfusion_tpu.data.datasets import (
+        CLASS_NAMES_MRI_BINARY,
+        CLASS_NAMES_PET_BINARY,
+        MultimodalNiftiDataset,
+    )
+    from otfusion_tpu.data.splits import stratified_split
+    from otfusion_tpu.train.loop import run_fusion_training
+
+    data_dir = data_dir or os.environ.get(
+        "BENCH_EPOCH_DATA",
+        os.path.expanduser("~/.cache/otfusion_bench/adni128"))
+    if not os.path.exists(os.path.join(data_dir, ".complete")):
+        print(f"# generating epoch-bench cohort into {data_dir} "
+              "(64 pairs @128^3, one-time)", file=sys.stderr)
+        make_synthetic_adni(data_dir, n_per_class=32, shape=(128,) * 3,
+                            seed=7)
+        with open(os.path.join(data_dir, ".complete"), "w") as f:
+            f.write("ok")
+    ds = MultimodalNiftiDataset(
+        root_dir=data_dir, class_names_a=CLASS_NAMES_MRI_BINARY,
+        class_names_b=CLASS_NAMES_PET_BINARY)
+    labels = [s[2] for s in ds.samples]
+    train_idx, val_idx = stratified_split(labels, 0.25, 7)
+
+    with tempfile.TemporaryDirectory(prefix="bench_epoch_") as save:
+        import jax.numpy as jnp
+
+        run_fusion_training(
+            samples=ds.samples, train_idx=train_idx, val_idx=val_idx,
+            class_names=CLASS_NAMES_MRI_BINARY, model_depth=101,
+            target_shape=(128,) * 3, batch_size=8, lr=1e-4,
+            epochs=epochs, seed=7, variant="per_epoch_attn",
+            dtype=jnp.bfloat16, s2d_stem=True, num_workers=4,
+            progress=False, save_path=save,
+        )
+        records = []
+        with open(os.path.join(save, "metrics.jsonl")) as f:
+            for line in f:
+                records.append(json.loads(line))
+    last = records[-1]
+    epoch_s = float(last["epoch_seconds"])
+    sps = len(train_idx) / epoch_s
+    print(
+        f"# full epoch (train {len(train_idx)} + coupling + eval "
+        f"{len(val_idx)} + ckpt) flagship depth101 B8 @128^3 bf16 s2d: "
+        f"{epoch_s:.1f} s | {sps:.2f} samples/s end-to-end | phases "
+        f"{last.get('phase_seconds')}", file=sys.stderr,
+    )
+    return epoch_s, sps, last.get("phase_seconds")
+
+
 def main():
+    """Prints ONE final JSON line, crash-durably (VERDICT r4 weak #1):
+
+    * every measurement lands in BENCH_LOCAL.json (a file twin rewritten
+      incrementally) the moment it completes;
+    * extras run under a wall-clock budget (BENCH_BUDGET_S, default
+      1500 s): once 85% is spent, the rest are skipped and recorded in
+      ``"skipped"`` so the final line always prints;
+    * SIGTERM/SIGINT (the driver's timeout) prints the line with
+      whatever completed before exiting.
+    Extras are ordered by information value so a tight budget still
+    yields the figures the round needs.
+    """
     from otfusion_tpu.cli.common import enable_compilation_cache
 
     enable_compilation_cache()
 
-    tpu_time, cpu_time = bench_coupling()
-    extra = {}
-    if os.environ.get("BENCH_SKIP_TRAIN_STEP") != "1":
-        # Primary train-step number = the SHIPPED trainer default: since
-        # round 4 fresh trainings resolve to the s2d stem
-        # (train/loop.py:_resolve_stem), so the headline and the default
-        # no longer disagree (VERDICT r3 weak #1).
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+    t0 = time.time()
+    record = {}
+    emitted = []
+
+    def flush_twin():
         try:
-            step_s, sps, mfu, flops = bench_train_step(s2d_stem=True)
-            extra = {
-                "train_step_ms": round(step_s * 1000, 1),
-                "train_samples_per_s": round(sps, 2),
-                "train_step_flops": flops,
-                "train_step_mfu": mfu and round(mfu, 4),
-                "train_config":
-                    "flagship depth101 B8 128^3 bf16 s2d (trainer default)",
-            }
-        except Exception as e:
-            print(f"# train-step bench failed: {e}", file=sys.stderr)
-            extra = {"train_step_error": str(e)[:200]}
-        # Plain (pre-round-4 default) stem beside it so the MFU
-        # comparison stays on the record every round.
-        try:
-            step_s, sps, mfu, _ = bench_train_step()
-            extra.update({
-                "train_step_plain_ms": round(step_s * 1000, 1),
-                "train_step_plain_mfu": mfu and round(mfu, 4),
-            })
-        except Exception as e:
-            print(f"# plain train-step bench failed: {e}", file=sys.stderr)
-            extra["train_step_plain_error"] = str(e)[:200]
-        # Base-variant step (VERDICT r2 next-step 8): the per-batch FOT
-        # solve runs IN-STEP on device — the host round-trip the
-        # reference pays per batch (MRI_PET_OT.py:667-697) is gone.
-        try:
-            step_s, sps, _, _ = bench_train_step(variant="base",
-                                                 s2d_stem=True)
-            extra["base_step_ms"] = round(step_s * 1000, 1)
-            extra["base_samples_per_s"] = round(sps, 2)
-        except Exception as e:
-            print(f"# base-step bench failed: {e}", file=sys.stderr)
-            extra["base_step_error"] = str(e)[:200]
-        # Effective-B16 via gradient accumulation (perf_notes lever 3,
-        # unblocked round 4): --grad-accum 2 --remat compiles where the
-        # single-copy B16 body HTTP-500s, and runs at plain-B8
-        # throughput with double the effective batch.
-        try:
-            step_s, sps, _, _ = bench_train_step(
-                batch=16, grad_accum=2, remat=True, s2d_stem=True)
-            extra["train_step_b16_accum2_ms"] = round(step_s * 1000, 1)
-            extra["train_samples_per_s_b16_accum2"] = round(sps, 2)
-        except Exception as e:
-            print(f"# B16 grad-accum bench failed: {e}", file=sys.stderr)
-            extra["train_step_b16_accum2_error"] = str(e)[:200]
-        # Forward-only serving step (cli/predict.py's per-batch cost).
-        # predict serves plain-stem checkpoints through the losslessly
-        # rewritten s2d stem by default (--stem auto) — report that
-        # number as primary, the as-trained plain stem beside it.
-        try:
-            step_s, sps = bench_infer_step(s2d_stem=True)
-            extra["infer_step_ms"] = round(step_s * 1000, 1)
-            extra["infer_samples_per_s"] = round(sps, 2)
-        except Exception as e:
-            print(f"# infer-step bench failed: {e}", file=sys.stderr)
-            extra["infer_step_error"] = str(e)[:200]
-        try:
-            step_s, sps = bench_infer_step()
-            extra["infer_step_plain_ms"] = round(step_s * 1000, 1)
-        except Exception as e:
-            print(f"# plain infer-step bench failed: {e}", file=sys.stderr)
-            extra["infer_step_plain_error"] = str(e)[:200]
-        # Serving at the predict CLI's default batch (16): forward-only
-        # keeps no backward activations, so B=16 fits where the train
-        # step OOMs at B=16 — measured +18% serving throughput over B=8.
-        try:
-            step_s, sps = bench_infer_step(batch=16, s2d_stem=True)
-            extra["infer_step_b16_ms"] = round(step_s * 1000, 1)
-            extra["infer_samples_per_s_b16"] = round(sps, 2)
-        except Exception as e:
-            print(f"# B16 infer-step bench failed: {e}", file=sys.stderr)
-            extra["infer_step_b16_error"] = str(e)[:200]
-        # BN-fold serving (VERDICT r3 weak #5): cli/predict.py's actual
-        # default — BN folded into the conv kernels at load (exact in
-        # eval mode), s2d stem — at B8 (fold-only delta vs
-        # infer_step_ms) and the predict-default B16.
-        try:
-            step_s, sps = bench_infer_step(s2d_stem=True, fold_bn=True)
-            extra["infer_step_fold_ms"] = round(step_s * 1000, 1)
-            extra["infer_samples_per_s_fold"] = round(sps, 2)
-        except Exception as e:
-            print(f"# fold infer-step bench failed: {e}", file=sys.stderr)
-            extra["infer_step_fold_error"] = str(e)[:200]
-        try:
-            step_s, sps = bench_infer_step(batch=16, s2d_stem=True,
-                                           fold_bn=True)
-            extra["infer_step_fold_b16_ms"] = round(step_s * 1000, 1)
-            extra["infer_samples_per_s_fold_b16"] = round(sps, 2)
-        except Exception as e:
-            print(f"# fold B16 infer-step bench failed: {e}",
-                  file=sys.stderr)
-            extra["infer_step_fold_b16_error"] = str(e)[:200]
+            with open("BENCH_LOCAL.json", "w") as f:
+                json.dump(record, f, indent=1)
+        except OSError:
+            pass
+
+    def emit_final():
+        if not emitted:
+            emitted.append(True)
+            record.setdefault("bench_wall_s", round(time.time() - t0, 1))
+            print(json.dumps(record), flush=True)
+            flush_twin()
+
+    def on_term(signum, frame):
+        record["terminated_by_signal"] = signum
+        emit_final()
+        sys.exit(0)
+
+    signal.signal(signal.SIGTERM, on_term)
+    signal.signal(signal.SIGINT, on_term)
 
     # Host context (VERDICT r3 weak #3): vs_baseline divides by a CPU
     # reference timed on THIS host, so it scales with the host's shape
@@ -394,7 +398,8 @@ def main():
     # vs_pinned_baseline normalises to the pinned 8-core measurement so
     # the figure is comparable across rounds regardless of host.
     CPU_REF_PINNED_8CORE_S = 2.4
-    print(json.dumps({
+    tpu_time, cpu_time = bench_coupling()
+    record.update({
         "metric": "per_epoch_ot_coupling_speedup_vs_cpu_numpy",
         "value": round(1.0 / tpu_time, 3),
         "unit": "couplings/s (2x64x2048 EGW + 2048^2 FOT)",
@@ -403,8 +408,120 @@ def main():
         "cpu_ref_s_this_host": round(cpu_time, 2),
         "cpu_ref_s_pinned_8core": CPU_REF_PINNED_8CORE_S,
         "vs_pinned_baseline": round(CPU_REF_PINNED_8CORE_S / tpu_time, 2),
-        **extra,
-    }))
+    })
+    flush_twin()
+
+    def x_train_s2d():
+        # Primary train-step number = the SHIPPED trainer default (s2d
+        # stem since round 4, train/loop.py:_resolve_stem).
+        step_s, sps, mfu, flops = bench_train_step(s2d_stem=True)
+        return {
+            "train_step_ms": round(step_s * 1000, 1),
+            "train_samples_per_s": round(sps, 2),
+            "train_step_flops": flops,
+            "train_step_mfu": mfu and round(mfu, 4),
+            "train_config":
+                "flagship depth101 B8 128^3 bf16 s2d (trainer default)",
+        }
+
+    def x_infer_fold_b16():
+        # BN-fold serving at cli/predict.py's ACTUAL defaults (fold-bn
+        # on, B16, s2d) — the round-4 gap (VERDICT r4 weak #2).
+        step_s, sps = bench_infer_step(batch=16, s2d_stem=True,
+                                       fold_bn=True)
+        return {"infer_step_fold_b16_ms": round(step_s * 1000, 1),
+                "infer_samples_per_s_fold_b16": round(sps, 2)}
+
+    def x_infer_fold_b8():
+        step_s, sps = bench_infer_step(s2d_stem=True, fold_bn=True)
+        return {"infer_step_fold_ms": round(step_s * 1000, 1),
+                "infer_samples_per_s_fold": round(sps, 2)}
+
+    def x_train_b16_accum2():
+        # Effective-B16 via gradient accumulation (perf_notes lever 3,
+        # unblocked round 4): plain-B8 throughput, double the batch.
+        step_s, sps, _, _ = bench_train_step(
+            batch=16, grad_accum=2, remat=True, s2d_stem=True)
+        return {"train_step_b16_accum2_ms": round(step_s * 1000, 1),
+                "train_samples_per_s_b16_accum2": round(sps, 2)}
+
+    def x_infer_s2d():
+        # Unfolded serving at B8 — the fold-only delta vs
+        # infer_step_fold_ms.
+        step_s, sps = bench_infer_step(s2d_stem=True)
+        return {"infer_step_ms": round(step_s * 1000, 1),
+                "infer_samples_per_s": round(sps, 2)}
+
+    def x_infer_b16():
+        step_s, sps = bench_infer_step(batch=16, s2d_stem=True)
+        return {"infer_step_b16_ms": round(step_s * 1000, 1),
+                "infer_samples_per_s_b16": round(sps, 2)}
+
+    def x_epoch():
+        # North-star unit: one measured end-to-end epoch (VERDICT r4
+        # weak #5). Skipped when the cohort cache is absent AND less
+        # than half the budget remains (generation alone takes minutes).
+        data_dir = os.environ.get(
+            "BENCH_EPOCH_DATA",
+            os.path.expanduser("~/.cache/otfusion_bench/adni128"))
+        if (not os.path.exists(os.path.join(data_dir, ".complete"))
+                and time.time() - t0 > 0.5 * budget_s):
+            return {"epoch_skipped": "no cached cohort + low budget"}
+        epoch_s, sps, phases = bench_epoch()
+        return {"epoch_s": round(epoch_s, 1),
+                "epoch_samples_per_s": round(sps, 2),
+                "epoch_phase_seconds": phases}
+
+    def x_train_plain():
+        # Pre-round-4 default stem: keeps the MFU comparison on record.
+        step_s, sps, mfu, _ = bench_train_step()
+        return {"train_step_plain_ms": round(step_s * 1000, 1),
+                "train_step_plain_mfu": mfu and round(mfu, 4)}
+
+    def x_train_base():
+        # Base variant: per-batch FOT solved IN-STEP on device — the
+        # host round-trip the reference pays per batch
+        # (MRI_PET_OT.py:667-697) is gone.
+        step_s, sps, _, _ = bench_train_step(variant="base",
+                                             s2d_stem=True)
+        return {"base_step_ms": round(step_s * 1000, 1),
+                "base_samples_per_s": round(sps, 2)}
+
+    def x_infer_plain():
+        step_s, sps = bench_infer_step()
+        return {"infer_step_plain_ms": round(step_s * 1000, 1)}
+
+    extras = [
+        ("train_s2d", x_train_s2d),
+        ("infer_fold_b16", x_infer_fold_b16),
+        ("infer_fold_b8", x_infer_fold_b8),
+        ("train_b16_accum2", x_train_b16_accum2),
+        ("infer_s2d", x_infer_s2d),
+        ("infer_b16", x_infer_b16),
+        ("epoch", x_epoch),
+        ("train_plain", x_train_plain),
+        ("train_base", x_train_base),
+        ("infer_plain", x_infer_plain),
+    ]
+    if os.environ.get("BENCH_SKIP_TRAIN_STEP") == "1":
+        extras = []
+    skipped = []
+    for name, fn in extras:
+        elapsed = time.time() - t0
+        if elapsed > 0.85 * budget_s:
+            skipped.append(name)
+            continue
+        try:
+            record.update(fn())
+        except Exception as e:
+            print(f"# {name} bench failed: {e}", file=sys.stderr)
+            record[f"{name}_error"] = str(e)[:200]
+        flush_twin()
+    if skipped:
+        record["skipped"] = skipped
+        print(f"# budget ({budget_s:.0f}s) spent — skipped: {skipped}",
+              file=sys.stderr)
+    emit_final()
 
 
 if __name__ == "__main__":

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import csv
+import json
 import os
 import sys
 import tempfile
@@ -32,6 +33,54 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 SCHEMA = ["setup", "modality", "model_depth", "data_split", "dropout",
           "pretrained", "attention_target", "best_val_loss", "best_epoch",
           "val_acc", "precision", "recall", "f1_score", "specificity"]
+
+# Args that change the generated cohorts or the training recipe: a workdir
+# may only be resumed by a sweep whose values for these all match (mixing
+# e.g. v2/v3 generator knobs in one workdir would silently merge
+# incomparable legs — hard_cohort_summary.md's NEVER-merge rule).
+_PROVENANCE_KEYS = ("epochs", "fusion_epochs", "lr", "fusion_lr",
+                    "n_per_class", "side", "depth", "class_gap", "noise",
+                    "signal_dropout", "signal_jitter", "shared_severity",
+                    "s2d_stem")
+
+
+def _write_provenance(workdir, args, fusion_lr, fusion_epochs):
+    """Record the sweep's generator/recipe knobs in the workdir (read by
+    resume runs and scripts/harvest_cohort_runs.py). Raises if the
+    workdir was produced by a sweep with different knobs."""
+    vals = {k: getattr(args, k) for k in _PROVENANCE_KEYS}
+    vals["fusion_lr"] = fusion_lr
+    vals["fusion_epochs"] = fusion_epochs
+    path = os.path.join(workdir, "study_args.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        diff = {k: (prev.get(k), v) for k, v in vals.items()
+                if prev.get(k) != v}
+        if diff:
+            raise SystemExit(
+                f"workdir {workdir} was written by a sweep with different "
+                f"knobs: {diff} — resuming would mix incomparable legs "
+                "(use a fresh --keep-runs dir)")
+    else:
+        with open(path, "w") as f:
+            json.dump(vals, f, indent=1)
+
+
+def _completed_row_meta(run_dir, expected_epochs):
+    """If ``run_dir`` holds a COMPLETED training run (its epoch loop
+    reached ``expected_epochs``), return its best_model.meta.json dict;
+    else None. A best_model.meta.json alone is NOT completion — it exists
+    from the first improving epoch of a still-running sweep."""
+    latest = os.path.join(run_dir, "latest.meta.json")
+    best = os.path.join(run_dir, "best_model.meta.json")
+    if not (os.path.exists(latest) and os.path.exists(best)):
+        return None
+    with open(latest) as f:
+        if json.load(f).get("epoch", 0) < expected_epochs:
+            return None
+    with open(best) as f:
+        return json.load(f)
 
 
 def build_cohort(tmp, seed, n_per_class, shape, knobs):
@@ -50,9 +99,15 @@ def split(n, seed, val_fraction=0.25):
                             val_fraction, seed)
 
 
-def _write_csv(out_dir, rows):
+def _write_csv(out_dir, rows, partial=False):
+    """Write the aggregator-schema CSV. In-progress sweeps write a
+    distinct ``.partial.csv`` name so an interrupted run can never
+    clobber a curated/committed hard_cohort_results.csv (it is only
+    promoted to the final name when the whole sweep finishes)."""
     os.makedirs(out_dir, exist_ok=True)
-    csv_path = os.path.join(out_dir, "hard_cohort_results.csv")
+    name = ("hard_cohort_results.partial.csv" if partial
+            else "hard_cohort_results.csv")
+    csv_path = os.path.join(out_dir, name)
     tmp_path = csv_path + ".tmp"
     with open(tmp_path, "w", newline="") as f:
         w = csv.writer(f)
@@ -104,9 +159,16 @@ def main():
     # s2d (train/loop.py:_resolve_stem).
     ap.add_argument("--s2d-stem", action=argparse.BooleanOptionalAction,
                     default=False)
-    ap.add_argument("--out-dir", default="examples/synthetic_demo")
+    # Default AWAY from examples/synthetic_demo: the committed v2/v3
+    # artifacts live there and a default-path run must never overwrite
+    # them (merge legs explicitly via scripts/cohort_study_report.py).
+    ap.add_argument("--out-dir", default=None,
+                    help="CSV/summary output dir (default: the workdir)")
     ap.add_argument("--keep-runs", default=None,
-                    help="directory to keep run outputs (default: temp)")
+                    help="directory to keep run outputs (default: temp); "
+                         "re-pointing at a previous sweep's dir RESUMES "
+                         "it — completed runs (epoch loop finished) are "
+                         "harvested instead of retrained")
     args = ap.parse_args()
 
     from otfusion_tpu.cli.common import enable_compilation_cache
@@ -126,6 +188,8 @@ def main():
     shape = (args.side,) * 3
     rows = []
     workdir = args.keep_runs or tempfile.mkdtemp(prefix="cohort_study_")
+    os.makedirs(workdir, exist_ok=True)
+    out_dir = args.out_dir or workdir
 
     knobs = dict(class_gap=args.class_gap, noise=args.noise,
                  signal_dropout=args.signal_dropout,
@@ -133,6 +197,7 @@ def main():
                  shared_severity=args.shared_severity)
     fusion_lr = args.fusion_lr or args.lr / 5.0
     fusion_epochs = args.fusion_epochs or int(args.epochs * 1.5)
+    _write_provenance(workdir, args, fusion_lr, fusion_epochs)
     for seed in range(args.seed_offset, args.seed_offset + args.seeds):
         tree = build_cohort(workdir, seed, args.n_per_class, shape, knobs)
         ds = MultimodalNiftiDataset(
@@ -155,23 +220,28 @@ def main():
             ulabels = [s[1] for s in uds.samples]
             utr, uva = stratified_split(ulabels, 0.25, seed)
             save = os.path.join(workdir, f"unimodal_{modality}_s{seed}")
-            res = run_unimodal_training(
-                samples=uds.samples, train_idx=utr, val_idx=uva,
-                class_names=table, model_depth=args.depth,
-                target_shape=shape, batch_size=8, lr=args.lr,
-                epochs=args.epochs, seed=seed, progress=False,
-                save_path=save, s2d_stem=args.s2d_stem,
-            )
+            b = _completed_row_meta(save, args.epochs)
+            if b is not None:
+                print(f"seed {seed} unimodal-{modality}: resumed "
+                      f"(val_acc={b['val_acc']:.4f})", flush=True)
+            else:
+                res = run_unimodal_training(
+                    samples=uds.samples, train_idx=utr, val_idx=uva,
+                    class_names=table, model_depth=args.depth,
+                    target_shape=shape, batch_size=8, lr=args.lr,
+                    epochs=args.epochs, seed=seed, progress=False,
+                    save_path=save, s2d_stem=args.s2d_stem,
+                )
+                b = res["best_summary"]
+                print(f"seed {seed} unimodal-{modality}: "
+                      f"val_acc={b['val_acc']:.4f}", flush=True)
             pretrained[modality] = os.path.join(save, "best_model")
-            b = res["best_summary"]
             rows.append(["pretraining", modality, args.depth,
                          f"seed{seed}", "none", "no", "none",
-                         f"{res['best_val_loss']:.4f}", b["epoch"],
+                         f"{b['val_loss']:.4f}", b["epoch"],
                          f"{b['val_acc']:.4f}", f"{b['precision']:.4f}",
                          f"{b['recall']:.4f}", f"{b['f1']:.4f}",
                          f"{b['specificity']:.4f}"])
-            print(f"seed {seed} unimodal-{modality}: "
-                  f"val_acc={b['val_acc']:.4f}", flush=True)
 
         # Stage 2 — fusion variants from the pretrained backbones
         # (train_both.sh --mri/pet-pretrained semantics).
@@ -187,27 +257,33 @@ def main():
         )
         for variant, setup in (("per_epoch_attn", "mri_pet_ot_attention"),
                                ("mmfusion", "mmfusion")):
-            res = run_fusion_training(
-                **common, variant=variant,
-                save_path=os.path.join(workdir, f"{setup}_s{seed}"),
-            )
-            b = res["best_summary"]
+            save = os.path.join(workdir, f"{setup}_s{seed}")
+            b = _completed_row_meta(save, fusion_epochs)
+            if b is not None:
+                print(f"seed {seed} {setup}: resumed "
+                      f"(val_acc={b['val_acc']:.4f})", flush=True)
+            else:
+                res = run_fusion_training(
+                    **common, variant=variant, save_path=save,
+                )
+                b = res["best_summary"]
+                print(f"seed {seed} {setup}: val_acc={b['val_acc']:.4f} "
+                      f"f1={b['f1']:.4f}", flush=True)
             rows.append([setup, "mri_pet", args.depth, f"seed{seed}",
                          "0.3", "yes", "none" if variant == "mmfusion"
-                         else "pet", f"{res['best_val_loss']:.4f}",
+                         else "pet", f"{b['val_loss']:.4f}",
                          b["epoch"], f"{b['val_acc']:.4f}",
                          f"{b['precision']:.4f}", f"{b['recall']:.4f}",
                          f"{b['f1']:.4f}", f"{b['specificity']:.4f}"])
-            print(f"seed {seed} {setup}: val_acc={b['val_acc']:.4f} "
-                  f"f1={b['f1']:.4f}", flush=True)
 
-        # Crash-durable sweep: rewrite the CSV after every completed
-        # seed so a wall-clock kill loses at most the in-flight seed
-        # (scripts/harvest_cohort_runs.py can still rebuild rows from
-        # the run dirs if even this write never happened).
-        _write_csv(args.out_dir, rows)
+        # Crash-durable sweep: rewrite the (partial-named) CSV after
+        # every completed seed so a wall-clock kill loses at most the
+        # in-flight seed (scripts/harvest_cohort_runs.py can still
+        # rebuild rows from the run dirs if even this write never
+        # happened) — and a resumed sweep picks up where it stopped.
+        _write_csv(out_dir, rows, partial=True)
 
-    csv_path = _write_csv(args.out_dir, rows)
+    csv_path = _write_csv(out_dir, rows)
 
     def mean_acc(setup, modality=None):
         vals = [float(r[9]) for r in rows if r[0] == setup
@@ -220,7 +296,7 @@ def main():
         "unimodal_mri": mean_acc("pretraining", "mri"),
         "unimodal_pet": mean_acc("pretraining", "pet"),
     }
-    md_path = os.path.join(args.out_dir, "hard_cohort_summary.md")
+    md_path = os.path.join(out_dir, "hard_cohort_summary.md")
     with open(md_path, "w") as f:
         f.write(
             "# Hard synthetic cohort: architecture separation\n\n"
