@@ -115,7 +115,7 @@ class SwinBlock(nn.Module):
         shortcut = x
         # Block-internal norms emit the compute dtype (stats/params stay
         # f32 in flax); only the final token norm pins f32.
-        y = nn.LayerNorm(dtype=self.dtype)(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         # Pad to window multiples (official Swin pads in forward; the
         # reference's 384/4/12 geometry always divides so it never hits
         # this, but other input sizes do).
@@ -139,9 +139,12 @@ class SwinBlock(nn.Module):
             y = y[:, :h, :w, :]
         x = shortcut + self._drop_path(y, train)
 
-        y = nn.LayerNorm(dtype=self.dtype)(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype)(y)
-        y = nn.gelu(y)
+        # exact (erf) GELU: torch nn.GELU's default, which the Swin
+        # .pth weights were trained under — flax's tanh approximation
+        # diverges ~1e-3 per block (caught by test_torch_golden.py)
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype)(y)
         return x + self._drop_path(y, train)
 
@@ -166,7 +169,7 @@ class PatchMerging(nn.Module):
             h, w = h + h % 2, w + w % 2
         x = x.reshape(b, h // 2, 2, w // 2, 2, c)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
-        x = nn.LayerNorm(dtype=self.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         return nn.Dense(2 * self.dim, use_bias=False,
                         dtype=self.dtype)(x)
 
@@ -192,7 +195,7 @@ class SwinTransformer2D(nn.Module):
         p = self.patch_size
         x = nn.Conv(self.embed_dim, (p, p), strides=(p, p),
                     dtype=self.dtype, name="patch_embed")(x.astype(self.dtype))
-        x = nn.LayerNorm(dtype=self.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
 
         total_blocks = sum(self.depths)
         dpr = np.linspace(0, self.drop_path_rate, total_blocks)
@@ -220,7 +223,7 @@ class SwinTransformer2D(nn.Module):
                 # swin_transformer_vis.py:568-570, capture at :752-756)
                 vis_feat = x
 
-        tokens = nn.LayerNorm(dtype=jnp.float32, name="norm")(
+        tokens = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(
             x.reshape(b, -1, x.shape[-1]).astype(jnp.float32))
         pooled = tokens.mean(axis=1)
         if self.return_hidden:

@@ -29,15 +29,18 @@ class ViTBlock(nn.Module):
     def __call__(self, x, train: bool):
         # Pre-norms emit the compute dtype (stats/params stay f32 in
         # flax); only the final output LayerNorm below pins f32.
-        h = nn.LayerNorm(dtype=self.dtype)(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         h = nn.MultiHeadDotProductAttention(
             num_heads=self.heads, dropout_rate=self.dropout,
             deterministic=not train, dtype=self.dtype,
         )(h, h)
         x = x + h
-        h = nn.LayerNorm(dtype=self.dtype)(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         h = nn.Dense(int(self.hidden * self.mlp_ratio), dtype=self.dtype)(h)
-        h = nn.gelu(h)
+        # exact (erf) GELU = MONAI MLPBlock's torch nn.GELU default (the
+        # convention UNETR_model_best_acc.pth was trained under); flax's
+        # tanh approximation drifts ~1e-3/block vs imported weights
+        h = nn.gelu(h, approximate=False)
         h = nn.Dense(self.hidden, dtype=self.dtype)(h)
         return x + h
 
@@ -84,7 +87,7 @@ class UNETRViTEncoder(nn.Module):
             x = block(self.hidden, self.heads, dropout=self.dropout,
                       dtype=self.dtype, name=f"block_{i}")(x, train)
 
-        x = nn.LayerNorm(dtype=jnp.float32)(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)(x)
         pooled = jnp.mean(x, axis=1).astype(jnp.float32)
         if self.return_tokens:
             return x.astype(jnp.float32), pooled

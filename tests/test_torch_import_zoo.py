@@ -131,7 +131,7 @@ def test_swin_patch_merging_equivalence(rng):
     cat = np.concatenate([x0, x1, x2, x3], axis=-1)
     mu = cat.mean(-1, keepdims=True)
     var = cat.var(-1, keepdims=True)
-    ln = (cat - mu) / np.sqrt(var + 1e-6) * g + b
+    ln = (cat - mu) / np.sqrt(var + 1e-5) * g + b  # torch LN eps
     want = ln @ w_red.T
 
     sd = {"layers.0.downsample.reduction.weight": w_red,
