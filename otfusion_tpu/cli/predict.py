@@ -79,8 +79,9 @@ def main(argv=None):
                         default=True,
                         help="Fold eval-mode BatchNorm into the conv "
                         "kernels at load (exact — utils/checkpoint.py:"
-                        "fold_conv_bn_params); applies to inline-"
-                        "ResNet3D backbones")
+                        "fold_conv_bn_params / fold_zoo_conv_bn); covers "
+                        "inline-ResNet3D, MedicalNet and Res2Net "
+                        "backbones (swin/unetr have no BN)")
     args = parser.parse_args(argv)
 
     from otfusion_tpu.cli.common import apply_device_flag
@@ -96,18 +97,23 @@ def main(argv=None):
     from otfusion_tpu.metrics.classification import classification_metrics
     from otfusion_tpu.train.train_state import create_train_state
     from otfusion_tpu.utils.checkpoint import (fold_conv_bn_params,
+                                               fold_zoo_conv_bn,
                                                restore_checkpoint,
                                                rewrite_stem_params)
 
-    def _fold(state, module_names):
+    def _fold(state, module_specs):
         # Inference-only BN fold: exact in eval mode, removes every BN
         # scale/shift op from the serving graph. The folded params match
-        # the fold_bn=True model's biased-conv layout.
+        # the fold_bn=True model's biased-conv layout. The inline
+        # ResNet3D folds by the _ConvBN signature; MedicalNet/Res2Net
+        # by the family's explicit conv<->BN pairing (fold_zoo_conv_bn).
         params = dict(state.params)
         stats = dict(state.batch_stats)
-        for name in module_names:
-            params[name] = fold_conv_bn_params(params[name],
-                                               stats.pop(name, {}))
+        for name, spec in module_specs.items():
+            fold = (fold_conv_bn_params
+                    if not spec or spec.startswith("resnet3d")
+                    else fold_zoo_conv_bn)
+            params[name] = fold(params[name], stats.pop(name, {}))
         print("Serving with BatchNorm folded into the conv kernels "
               "(--no-fold-bn disables)")
         return state.replace(params=params, batch_stats=stats)
@@ -233,12 +239,16 @@ def main(argv=None):
             )
             state = _graft_s2d(state, s2d_state,
                                ("mri_backbone", "pet_backbone"))
-        # BN fold covers exactly the inline-ResNet3D backbones (registry
-        # families interleave shortcut BNs — see fold_conv_bn_params).
-        fold_mods = tuple(
-            m for m, spec in (("mri_backbone", cfg.get("mri_backbone")),
-                              ("pet_backbone", cfg.get("pet_backbone")))
-            if not spec)
+        # BN fold covers every conv backbone family: inline ResNet3D
+        # (fold_conv_bn_params) and MedicalNet/Res2Net (fold_zoo_conv_bn);
+        # the LayerNorm zoo (swin/unetr) has nothing to fold.
+        from otfusion_tpu.models.registry import fold_bn_supported
+
+        fold_mods = {
+            m: (spec or "")
+            for m, spec in (("mri_backbone", cfg.get("mri_backbone")),
+                            ("pet_backbone", cfg.get("pet_backbone")))
+            if fold_bn_supported(spec or "")}
         if args.fold_bn and fold_mods:
             model = _build(cfg_s2d or s2d_rewrite, fold=True)
             state = _fold(state, fold_mods)
@@ -290,7 +300,7 @@ def main(argv=None):
                 depth=int(cfg["model_depth"]), num_classes=num_classes,
                 s2d_stem=cfg_s2d or s2d_rewrite, fold_bn=True, dtype=dtype,
             )
-            state = _fold(state, ("backbone",))
+            state = _fold(state, {"backbone": ""})  # inline ResNet3D
         eval_step = make_unimodal_eval_step(model)
 
         def run_batch(batch):

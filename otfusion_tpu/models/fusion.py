@@ -74,14 +74,17 @@ def build_fusion_backbone(spec: str, depth: int, dtype, name=None,
     """Construct a fusion-side backbone from its registry spec (empty =
     the reference's ResNet3D at ``depth``). Free function so callers
     outside a module scope (feature extraction, shape probing) can build
-    unparented instances. ``fold_bn`` serves the inline ResNet3D with BN
-    folded into the conv kernels (inference-only; registry backbones
-    ignore it)."""
-    from otfusion_tpu.models.registry import build_backbone
+    unparented instances. ``fold_bn`` serves conv backbones with BN
+    folded into the conv kernels (inference-only): the inline ResNet3D
+    plus the MedicalNet/Res2Net registry families; the LayerNorm-based
+    families (swin/unetr) have nothing to fold and ignore it."""
+    from otfusion_tpu.models.registry import build_backbone, fold_bn_supported
 
     if not spec:
         return ResNet3DBackbone(depth, remat=remat, s2d_stem=s2d_stem,
                                 fold_bn=fold_bn, dtype=dtype, name=name)
+    if fold_bn and fold_bn_supported(spec):
+        return build_backbone(spec, dtype=dtype, name=name, fold_bn=True)
     return build_backbone(spec, dtype=dtype, name=name)
 
 

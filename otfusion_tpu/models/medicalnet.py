@@ -29,6 +29,7 @@ class _Conv3(nn.Module):
     features: int
     stride: int = 1
     dilation: int = 1
+    use_bias: bool = False  # True only under fold_bn (folded BN shift)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -39,7 +40,7 @@ class _Conv3(nn.Module):
             strides=(self.stride,) * 3,
             kernel_dilation=(self.dilation,) * 3,
             padding=[(self.dilation,) * 2] * 3,
-            use_bias=False,
+            use_bias=self.use_bias,
             kernel_init=_conv_init,
             dtype=self.dtype,
         )(x)
@@ -67,27 +68,34 @@ class MedicalBasicBlock(nn.Module):
     stride: int = 1
     dilation: int = 1
     shortcut_type: str = "B"
+    # inference-only serving variant: BNs folded into biased convs
+    # (utils/checkpoint.py:fold_zoo_conv_bn builds the matching params)
+    fold_bn: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
         out_ch = self.planes
+        bn = (lambda y: y) if self.fold_bn else \
+            (lambda y: _bn(train, self.dtype)(y))
         residual = x
         out = _Conv3(self.planes, self.stride, self.dilation,
-                     self.dtype)(x)
-        out = _bn(train, self.dtype)(out)
+                     use_bias=self.fold_bn, dtype=self.dtype)(x)
+        out = bn(out)
         out = nn.relu(out)
-        out = _Conv3(self.planes, 1, self.dilation, self.dtype)(out)
-        out = _bn(train, self.dtype)(out)
+        out = _Conv3(self.planes, 1, self.dilation,
+                     use_bias=self.fold_bn, dtype=self.dtype)(out)
+        out = bn(out)
         if self.stride != 1 or x.shape[-1] != out_ch:
             if self.shortcut_type == "A":
                 residual = _shortcut_a(x, out_ch, self.stride)
             else:
                 residual = nn.Conv(out_ch, (1, 1, 1),
                                    strides=(self.stride,) * 3,
-                                   use_bias=False, kernel_init=_conv_init,
+                                   use_bias=self.fold_bn,
+                                   kernel_init=_conv_init,
                                    dtype=self.dtype)(x)
-                residual = _bn(train, self.dtype)(residual)
+                residual = bn(residual)
         return nn.relu(out + residual)
 
 
@@ -96,32 +104,36 @@ class MedicalBottleneck(nn.Module):
     stride: int = 1
     dilation: int = 1
     shortcut_type: str = "B"
+    fold_bn: bool = False  # see MedicalBasicBlock
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
         out_ch = self.planes * 4
+        bn = (lambda y: y) if self.fold_bn else \
+            (lambda y: _bn(train, self.dtype)(y))
         residual = x
-        out = nn.Conv(self.planes, (1, 1, 1), use_bias=False,
+        out = nn.Conv(self.planes, (1, 1, 1), use_bias=self.fold_bn,
                       kernel_init=_conv_init, dtype=self.dtype)(x)
-        out = _bn(train, self.dtype)(out)
+        out = bn(out)
         out = nn.relu(out)
         out = _Conv3(self.planes, self.stride, self.dilation,
-                     self.dtype)(out)
-        out = _bn(train, self.dtype)(out)
+                     use_bias=self.fold_bn, dtype=self.dtype)(out)
+        out = bn(out)
         out = nn.relu(out)
-        out = nn.Conv(out_ch, (1, 1, 1), use_bias=False,
+        out = nn.Conv(out_ch, (1, 1, 1), use_bias=self.fold_bn,
                       kernel_init=_conv_init, dtype=self.dtype)(out)
-        out = _bn(train, self.dtype)(out)
+        out = bn(out)
         if self.stride != 1 or x.shape[-1] != out_ch:
             if self.shortcut_type == "A":
                 residual = _shortcut_a(x, out_ch, self.stride)
             else:
                 residual = nn.Conv(out_ch, (1, 1, 1),
                                    strides=(self.stride,) * 3,
-                                   use_bias=False, kernel_init=_conv_init,
+                                   use_bias=self.fold_bn,
+                                   kernel_init=_conv_init,
                                    dtype=self.dtype)(x)
-                residual = _bn(train, self.dtype)(residual)
+                residual = bn(residual)
         return nn.relu(out + residual)
 
 
@@ -134,18 +146,26 @@ class MedicalNetResNet(nn.Module):
     depth: int = 10
     shortcut_type: str = "B"
     pool: str = "hw"
+    # Serve with BN folded into biased convs (exact in eval mode;
+    # params from utils/checkpoint.py:fold_zoo_conv_bn). Training needs
+    # live batch statistics, so fold_bn models refuse train=True.
+    fold_bn: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.fold_bn and train:
+            raise ValueError("fold_bn is inference-only: training needs "
+                             "live BN statistics")
         layers, kind = DEPTH_CONFIGS[self.depth]
         block = MedicalBasicBlock if kind == "basic" else MedicalBottleneck
 
         x = x.astype(self.dtype)
         x = nn.Conv(64, (7, 7, 7), strides=(2, 2, 2),
-                    padding=[(3, 3)] * 3, use_bias=False,
+                    padding=[(3, 3)] * 3, use_bias=self.fold_bn,
                     kernel_init=_conv_init, dtype=self.dtype)(x)
-        x = _bn(train, self.dtype)(x)
+        if not self.fold_bn:
+            x = _bn(train, self.dtype)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3, 3), strides=(2, 2, 2),
                         padding=[(1, 1)] * 3)
@@ -163,6 +183,7 @@ class MedicalNetResNet(nn.Module):
                     stride=stride if i == 0 else 1,
                     dilation=dilation,
                     shortcut_type=self.shortcut_type,
+                    fold_bn=self.fold_bn,
                     dtype=self.dtype,
                 )(x, train)
 

@@ -23,6 +23,17 @@ from otfusion_tpu.models.swin import swin_base_384
 from otfusion_tpu.models.unetr import UNETRViTEncoder
 
 
+def fold_bn_supported(backbone: str) -> bool:
+    """Families with a ``fold_bn`` serving variant (BN folded into
+    biased convs at load): the inline ResNet3D ('' / resnet3d-*,
+    utils/checkpoint.py:fold_conv_bn_params) and the conv zoo families
+    (medicalnet-*, res2net*, fold_zoo_conv_bn). Swin/UNETR are
+    LayerNorm-based — nothing to fold."""
+    spec = (backbone or "").lower()
+    return (spec == "" or spec.startswith("resnet3d")
+            or spec.startswith("medicalnet-") or spec.startswith("res2net"))
+
+
 def build_backbone(backbone: str, dtype: Any = jnp.float32, **kwargs):
     spec = backbone.lower()
     if spec.startswith("resnet3d-"):

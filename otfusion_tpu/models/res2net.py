@@ -31,17 +31,23 @@ class Bottle2neck(nn.Module):
     base_width: int = 26
     scale: int = 4
     stype: str = "normal"  # "stage" for the first block of a stage
+    # inference-only serving variant: BNs folded into biased convs
+    # (utils/checkpoint.py:fold_zoo_conv_bn — here Conv_i pairs with
+    # BatchNorm_i by construction, every conv is followed by its BN)
+    fold_bn: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
         width = int(self.planes * (self.base_width / 64.0))
         out_ch = self.planes * 4
+        bn = (lambda y: y) if self.fold_bn else \
+            (lambda y: _bn(train, self.dtype)(y))
         residual = x
 
-        out = nn.Conv(width * self.scale, (1, 1), use_bias=False,
+        out = nn.Conv(width * self.scale, (1, 1), use_bias=self.fold_bn,
                       kernel_init=_conv_init, dtype=self.dtype)(x)
-        out = _bn(train, self.dtype)(out)
+        out = bn(out)
         out = nn.relu(out)
 
         splits = jnp.split(out, self.scale, axis=-1)
@@ -54,9 +60,9 @@ class Bottle2neck(nn.Module):
             else:
                 sp = sp + splits[i]
             sp = nn.Conv(width, (3, 3), strides=(self.stride,) * 2,
-                         padding=[(1, 1)] * 2, use_bias=False,
+                         padding=[(1, 1)] * 2, use_bias=self.fold_bn,
                          kernel_init=_conv_init, dtype=self.dtype)(sp)
-            sp = nn.relu(_bn(train, self.dtype)(sp))
+            sp = nn.relu(bn(sp))
             outs.append(sp)
         if self.scale > 1:
             last = splits[-1]
@@ -67,9 +73,9 @@ class Bottle2neck(nn.Module):
             outs.append(last)
         out = jnp.concatenate(outs, axis=-1)
 
-        out = nn.Conv(out_ch, (1, 1), use_bias=False,
+        out = nn.Conv(out_ch, (1, 1), use_bias=self.fold_bn,
                       kernel_init=_conv_init, dtype=self.dtype)(out)
-        out = _bn(train, self.dtype)(out)
+        out = bn(out)
 
         if self.stride != 1 or x.shape[-1] != out_ch:
             # v1b downsample: avgpool + 1x1 conv + BN
@@ -77,10 +83,10 @@ class Bottle2neck(nn.Module):
             if self.stride != 1:
                 residual = nn.avg_pool(residual, (self.stride,) * 2,
                                        strides=(self.stride,) * 2)
-            residual = nn.Conv(out_ch, (1, 1), use_bias=False,
+            residual = nn.Conv(out_ch, (1, 1), use_bias=self.fold_bn,
                                kernel_init=_conv_init,
                                dtype=self.dtype)(residual)
-            residual = _bn(train, self.dtype)(residual)
+            residual = bn(residual)
         return nn.relu(out + residual)
 
 
@@ -90,17 +96,24 @@ class Res2Net(nn.Module):
     layers: Sequence[int] = (3, 4, 6, 3)
     base_width: int = 26
     scale: int = 4
+    # Serve with BN folded into biased convs (exact in eval mode;
+    # params from utils/checkpoint.py:fold_zoo_conv_bn). Inference-only.
+    fold_bn: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.fold_bn and train:
+            raise ValueError("fold_bn is inference-only: training needs "
+                             "live BN statistics")
         x = x.astype(self.dtype)
         # v1b deep stem: 3x3(s2)-3x3-3x3 to 64 channels
         for features, stride in ((32, 2), (32, 1), (64, 1)):
             x = nn.Conv(features, (3, 3), strides=(stride,) * 2,
-                        padding=[(1, 1)] * 2, use_bias=False,
+                        padding=[(1, 1)] * 2, use_bias=self.fold_bn,
                         kernel_init=_conv_init, dtype=self.dtype)(x)
-            x = nn.relu(_bn(train, self.dtype)(x))
+            x = x if self.fold_bn else _bn(train, self.dtype)(x)
+            x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
 
         for stage, (planes, n_blocks) in enumerate(
@@ -113,6 +126,7 @@ class Res2Net(nn.Module):
                     base_width=self.base_width,
                     scale=self.scale,
                     stype="stage" if i == 0 else "normal",
+                    fold_bn=self.fold_bn,
                     dtype=self.dtype,
                 )(x, train)
 
