@@ -347,6 +347,81 @@ def bench_epoch(data_dir=None, epochs=2):
     return epoch_s, sps, last.get("phase_seconds")
 
 
+def bench_hetero_smoke(batch=2):
+    """BASELINE config 5 smoke on the real chip (VERDICT r4 stretch):
+    swin_base_384 fundus encoder (384x384x3, window 12) + UNETR ViT
+    encoder (96^3 volume, 216 tokens) heterogeneous OT fusion — one
+    forward+backward train step with synthetic official-naming torch
+    state dicts grafted through the zoo converters
+    (utils/torch_import.py), proving the heterogeneous PRETRAINED path
+    compiles and runs on TPU, not just the CPU test mesh
+    (fundus_swin_network.py:13-77, unetr.py:52-70).
+    Returns (step_seconds, samples_per_s, n_grafted)."""
+    import jax
+    import jax.numpy as jnp
+
+    from otfusion_tpu.models import MultimodalOTFusion
+    from otfusion_tpu.train import create_train_state
+    from otfusion_tpu.train.steps import make_fusion_train_step
+    from otfusion_tpu.utils.torch_import import _graft, backbone_tree_from_torch
+
+    sys.path.insert(0, "tests")
+    from test_torch_import_zoo import _tiny_swin_sd, _unetr_sd
+
+    rng = np.random.default_rng(3)
+    model = MultimodalOTFusion(
+        num_classes=2, variant="per_epoch_attn",
+        mri_backbone="swin_base_384", pet_backbone="unetr_vit",
+        dtype=jnp.bfloat16,
+    )
+    mri = jnp.asarray(rng.normal(size=(batch, 384, 384, 3)), jnp.float32)
+    pet = jnp.asarray(rng.normal(size=(batch, 96, 96, 96, 1)),
+                      jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 2, size=batch))
+    d_mri, d_pet = 1024, 768  # swin 128*2^3 pooled, ViT hidden
+    tv = jnp.full((d_pet, d_mri), 1.0 / (d_pet * d_mri), jnp.float32)
+    state = create_train_state(model, jax.random.key(0), (mri, pet),
+                               1e-5, t_feature=tv)
+
+    # Graft full-size synthetic .pth state dicts in the official naming
+    # (the same generators the layout tests use, at the real geometry).
+    swin_sd = _tiny_swin_sd(rng, embed=128, depths=(2, 2, 18, 2),
+                            heads=(4, 8, 16, 32), window=12)
+    unetr_sd = _unetr_sd(rng, hidden=768, heads=12, blocks=12, patch=16,
+                         n_tokens=216)
+    params = jax.tree_util.tree_map(np.asarray, dict(state.params))
+    loaded, skipped = [], []
+    src_p, _ = backbone_tree_from_torch(swin_sd, "swin_base_384")
+    _graft(params["mri_backbone"], src_p, ("mri_backbone",), loaded,
+           skipped)
+    src_p, _ = backbone_tree_from_torch(unetr_sd, "unetr_vit")
+    _graft(params["pet_backbone"], src_p, ("pet_backbone",), loaded,
+           skipped)
+    if skipped:
+        raise RuntimeError(f"hetero graft skipped tensors: {skipped[:5]}")
+    state = state.replace(params=params)
+
+    step = make_fusion_train_step(model, donate=True)
+    key = jax.random.key(1)
+    eps = jnp.float32(0.0)
+    warm, n_runs = 3, 5
+    times = []
+    for i in range(warm + n_runs):
+        t0 = time.time()
+        state, met = step(state, mri * (1.0 + eps), pet, labels, tv,
+                          jax.random.fold_in(key, i))
+        eps = met["loss"] * 1e-9
+        float(met["loss"])
+        times.append(time.time() - t0)
+    step_s = float(np.median(times[warm:]))
+    print(
+        f"# hetero smoke swin_base_384+unetr_vit B{batch} bf16 "
+        f"(grafted {len(loaded)} tensors): {step_s*1000:.0f} ms | "
+        f"{batch/step_s:.2f} samples/s", file=sys.stderr,
+    )
+    return step_s, batch / step_s, len(loaded)
+
+
 def main():
     """Prints ONE final JSON line, crash-durably (VERDICT r4 weak #1):
 
@@ -491,6 +566,12 @@ def main():
         step_s, sps = bench_infer_step()
         return {"infer_step_plain_ms": round(step_s * 1000, 1)}
 
+    def x_hetero():
+        step_s, sps, n = bench_hetero_smoke()
+        return {"hetero_step_ms": round(step_s * 1000, 1),
+                "hetero_samples_per_s": round(sps, 2),
+                "hetero_grafted_tensors": n}
+
     extras = [
         ("train_s2d", x_train_s2d),
         ("infer_fold_b16", x_infer_fold_b16),
@@ -502,6 +583,7 @@ def main():
         ("train_plain", x_train_plain),
         ("train_base", x_train_base),
         ("infer_plain", x_infer_plain),
+        ("hetero", x_hetero),
     ]
     if os.environ.get("BENCH_SKIP_TRAIN_STEP") == "1":
         extras = []

@@ -148,6 +148,7 @@ def fusion_main(
         num_devices=resolve_num_devices(args.num_devices),
         tp_size=args.tp_size,
         num_workers=args.num_workers,
+        latest_every=args.latest_every,
         feature_batch_size=args.feature_batch_size,
         eval_batch_size=args.eval_batch_size,
         config_lines={

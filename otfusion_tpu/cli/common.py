@@ -75,6 +75,15 @@ def add_common_args(parser: argparse.ArgumentParser, *, epochs: int,
                              "runs; --resume keeps the stem recorded in "
                              "the run's model_config.json (TPU-native "
                              "addition)")
+    parser.add_argument("--latest-every", type=int, default=1,
+                        help="Save the resumable 'latest' checkpoint "
+                             "(params+optimiser) every N epochs instead "
+                             "of every epoch; the final epoch always "
+                             "saves. The write-behind saver hides the "
+                             "write only while an epoch outlasts it — "
+                             "at small epoch times the every-epoch "
+                             "'latest' write IS the epoch bottleneck "
+                             "(TPU-native addition)")
     parser.add_argument("--eval-batch-size", type=int, default=None,
                         help="Batch size for validation/eval epochs "
                              "(forward-only — no stored backward "

@@ -158,6 +158,7 @@ def main(argv=None):
         num_devices=resolve_num_devices(args.num_devices),
         tp_size=args.tp_size,
         num_workers=args.num_workers,
+        latest_every=args.latest_every,
         config_lines={
             "Dataset": args.data_dir,
             "Train/Val Split": f"{1 - args.val_fraction:.1%}/"

@@ -231,6 +231,9 @@ def main():
                     target_shape=shape, batch_size=8, lr=args.lr,
                     epochs=args.epochs, seed=seed, progress=False,
                     save_path=save, s2d_stem=args.s2d_stem,
+                    # tiny epochs (~1s): the every-epoch 'latest' write
+                    # dominates wall time otherwise (22-33s measured)
+                    latest_every=5,
                 )
                 b = res["best_summary"]
                 print(f"seed {seed} unimodal-{modality}: "
@@ -254,6 +257,7 @@ def main():
             progress=False, s2d_stem=args.s2d_stem,
             mri_pretrained=pretrained["mri"],
             pet_pretrained=pretrained["pet"],
+            latest_every=5,  # see the unimodal stage note
         )
         for variant, setup in (("per_epoch_attn", "mri_pet_ot_attention"),
                                ("mmfusion", "mmfusion")):
