@@ -96,27 +96,19 @@ def main(argv=None):
                                           _VolumeCache, feed_dtype_for)
     from otfusion_tpu.metrics.classification import classification_metrics
     from otfusion_tpu.train.train_state import create_train_state
-    from otfusion_tpu.utils.checkpoint import (fold_conv_bn_params,
-                                               fold_zoo_conv_bn,
+    from otfusion_tpu.utils.checkpoint import (fold_state_for_serving,
                                                restore_checkpoint,
                                                rewrite_stem_params)
 
     def _fold(state, module_specs):
         # Inference-only BN fold: exact in eval mode, removes every BN
-        # scale/shift op from the serving graph. The folded params match
-        # the fold_bn=True model's biased-conv layout. The inline
-        # ResNet3D folds by the _ConvBN signature; MedicalNet/Res2Net
-        # by the family's explicit conv<->BN pairing (fold_zoo_conv_bn).
-        params = dict(state.params)
-        stats = dict(state.batch_stats)
-        for name, spec in module_specs.items():
-            fold = (fold_conv_bn_params
-                    if not spec or spec.startswith("resnet3d")
-                    else fold_zoo_conv_bn)
-            params[name] = fold(params[name], stats.pop(name, {}))
+        # scale/shift op from the serving graph and device_puts the
+        # folded state once (fold_state_for_serving). The inline ResNet3D
+        # folds by the _ConvBN signature; MedicalNet/Res2Net by the
+        # family's explicit conv<->BN pairing.
         print("Serving with BatchNorm folded into the conv kernels "
               "(--no-fold-bn disables)")
-        return state.replace(params=params, batch_stats=stats)
+        return fold_state_for_serving(state, module_specs)
 
     def _graft_s2d(state, s2d_state, module_names):
         # Serve-time plain->s2d stem rewrite: graft every backbone's

@@ -147,6 +147,49 @@ def test_fold_bn_fusion_equality(rng):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_fold_state_for_serving_device_resident(rng):
+    """fold_state_for_serving returns jax.Array leaves (round-5 fix):
+    the folders compute on host numpy, and numpy leaves in a jit
+    argument are re-uploaded on EVERY call — measured 126 ms -> 15.7 s
+    per serving batch through the TPU tunnel. The shared helper must
+    device_put the folded state once, and stay exact."""
+    import jax
+    import jax.numpy as jnp
+
+    from otfusion_tpu.models import MultimodalOTFusion
+    from otfusion_tpu.models.resnet3d import feature_dim
+    from otfusion_tpu.train import create_train_state
+    from otfusion_tpu.utils.checkpoint import fold_state_for_serving
+
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 8, 1)), jnp.float32)
+    d = feature_dim(10)
+    tv = jnp.full((d, d), 1.0 / d**2, jnp.float32)
+    model = MultimodalOTFusion(num_classes=2, depth=10,
+                               variant="per_epoch_attn")
+    state = create_train_state(model, jax.random.key(0), (x, x), 1e-3,
+                               t_feature=tv)
+    want = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        x, x, t_feature=tv, train=False)["logits"]
+
+    folded_state = fold_state_for_serving(
+        state, {"mri_backbone": "", "pet_backbone": ""})
+    for leaf in jax.tree_util.tree_leaves(
+            (folded_state.params, folded_state.batch_stats)):
+        assert isinstance(leaf, jax.Array), type(leaf)
+    # folded backbones dropped from batch_stats, trunk stats kept
+    assert "mri_backbone" not in folded_state.batch_stats
+
+    folded = MultimodalOTFusion(num_classes=2, depth=10,
+                                variant="per_epoch_attn", fold_bn=True)
+    got = folded.apply(
+        {"params": folded_state.params,
+         "batch_stats": folded_state.batch_stats},
+        x, x, t_feature=tv, train=False)["logits"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_resolve_stem_policy(tmp_path):
     """Tri-state stem resolution: fresh runs default to s2d; --resume
     keeps the recorded stem; an explicit flag contradicting the recorded
