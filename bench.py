@@ -553,7 +553,16 @@ def main():
         epoch_s, sps, phases = bench_epoch()
         return {"epoch_s": round(epoch_s, 1),
                 "epoch_samples_per_s": round(sps, 2),
-                "epoch_phase_seconds": phases}
+                "epoch_phase_seconds": phases,
+                # Round-5 decomposition (scripts/probe_epoch_{io,steps}.py,
+                # docs/perf_notes.md "the measured end-to-end epoch"):
+                # in THIS environment ~97% of epoch_s is the ~10-25 MB/s
+                # TPU tunnel (67 MB/step batch feed H2D, checkpoint
+                # snapshot D2H, phase-transition server paging), not
+                # framework compute (~6 s I/O + ~3.6 s device work).
+                "epoch_env_note":
+                    "tunnel-transfer-bound; framework-side epoch ~7-10 s "
+                    "(see docs/perf_notes.md round-5 epoch section)"}
 
     def x_train_plain():
         # Pre-round-4 default stem: keeps the MFU comparison on record.

@@ -59,7 +59,10 @@ def main():
     tv = jnp.full((d, d), 1.0 / (d * d), jnp.float32)
     state = create_train_state(model, jax.random.key(0), (mri, pet),
                                1e-4, t_feature=tv)
-    train_step = make_fusion_train_step(model, donate=True)
+    # donate=False: the timing loop reuses `state` across calls (a
+    # donated buffer would be dead after the warm-up execution); memory
+    # headroom is irrelevant for a 2-call CPU timing.
+    train_step = make_fusion_train_step(model, donate=False)
     eval_step = make_fusion_eval_step(model)
     key = jax.random.key(1)
 
