@@ -171,6 +171,10 @@ def main():
                     help="key=value compiler option (opts mode)")
     args = ap.parse_args()
 
+    from otfusion_tpu.cli.common import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import jax
 
     if args.mode == "opts":
@@ -181,15 +185,12 @@ def main():
     build = {"seq": probe_seq, "vmap": probe_vmap}[args.mode]
     step, args0 = build(args.depth, args.batch, args.side)
 
+    # No cost-model twin: a second full compile of this fwd+bwd body
+    # costs 30+ min through the tunnel and broke the server on the first
+    # attempt (rc=124 run, 2026-08-21); the seq-vs-vmap comparison is
+    # relative, and absolute MFU context comes from bench.py's train
+    # step (30.4% with the head+optimiser included).
     flops = None
-    try:
-        cost = jax.jit(lambda *a: step(*a)).lower(*args0).compile(
-        ).cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops = float(cost.get("flops", 0.0)) or None
-    except Exception as e:
-        print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
 
     t0 = time.time()
     first = step(*args0)
