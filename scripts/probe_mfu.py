@@ -140,6 +140,52 @@ def probe_vmap(depth, batch, side):
     return step, (x2,)
 
 
+def probe_fwdcmp(depth, batch, side):
+    """Forward-only seq-vs-vmap comparison in one process. Fallback for
+    the fwd+bwd probes: BOTH full-gradient arms broke this environment's
+    remote-compile server (broken pipe after ~30 min, twice on
+    2026-08-21), while forward-only graphs of this size compile in
+    minutes. The forward pass carries the same 64-channel early-conv
+    structure, so if vmap-over-modality doesn't improve MXU fill here it
+    won't in the backward either."""
+    import jax
+    import jax.numpy as jnp
+
+    bb = _backbone(depth)
+    mri, pet = _inputs(batch, side)
+    x2 = jnp.stack([jnp.asarray(mri), jnp.asarray(pet)])
+    v_mri = bb.init(jax.random.key(0), x2[0], train=False)
+    v_pet = bb.init(jax.random.key(1), x2[1], train=False)
+    stack = lambda a, b: jnp.stack([a, b])
+    vars2 = jax.tree_util.tree_map(stack, v_mri, v_pet)
+
+    @jax.jit
+    def step_seq(x2):
+        f1 = bb.apply(v_mri, x2[0], train=False)
+        f2 = bb.apply(v_pet, x2[1], train=False)
+        return (jnp.mean(jnp.square(f1.astype(jnp.float32)))
+                + jnp.mean(jnp.square(f2.astype(jnp.float32))))
+
+    @jax.jit
+    def step_vmap(x2):
+        f = jax.vmap(lambda v, x: bb.apply(v, x, train=False))(vars2, x2)
+        return jnp.sum(jnp.mean(jnp.square(f.astype(jnp.float32)),
+                                axis=(1, 2)))
+
+    out = {"mode": "fwdcmp", "depth": depth, "batch": batch, "side": side}
+    for name, step in (("seq", step_seq), ("vmap", step_vmap)):
+        t0 = time.time()
+        float(step(x2))
+        out[f"{name}_compile_s"] = round(time.time() - t0, 1)
+        med, times = _time_loop(step, (x2,))
+        out[f"{name}_fwd_ms"] = round(med * 1000, 1)
+        out[f"{name}_all_ms"] = [round(t * 1000) for t in times]
+        print(f"# {name}: {med*1000:.0f} ms fwd-only "
+              f"(compile {out[f'{name}_compile_s']}s)", file=sys.stderr,
+              flush=True)
+    return out
+
+
 def probe_opts(depth, batch, side, flags):
     """Does axon's server-side compile accept per-jit compiler_options?
     Compiles the seq step twice — default vs with the given TPU flags —
@@ -163,7 +209,7 @@ def probe_opts(depth, batch, side, flags):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("mode", choices=["seq", "vmap", "opts"])
+    ap.add_argument("mode", choices=["seq", "vmap", "opts", "fwdcmp"])
     ap.add_argument("--depth", type=int, default=101)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--side", type=int, default=128)
@@ -179,6 +225,10 @@ def main():
 
     if args.mode == "opts":
         rec = probe_opts(args.depth, args.batch, args.side, args.flag)
+        print(json.dumps(rec), flush=True)
+        return
+    if args.mode == "fwdcmp":
+        rec = probe_fwdcmp(args.depth, args.batch, args.side)
         print(json.dumps(rec), flush=True)
         return
 
